@@ -1,0 +1,84 @@
+"""On-device non-maximum suppression with static shapes.
+
+TPU replacement for torchvision.ops.nms (CUDA) as used by the reference's
+chunked-NMS wrapper (os2d/structures/bounding_box.py:344-387). Instead of
+dynamic survivor sets, boxes are score-sorted and a greedy keep mask is
+computed by iterating a suppression relation to its fixpoint — the fixpoint
+equals exact greedy (score-descending) NMS, and the iteration finalizes at
+least one more prefix position per sweep, so it terminates in <= K sweeps
+(typically a handful).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..structures.boxes import box_iou
+
+
+def nms_keep_mask(boxes, scores, valid, iou_threshold: float):
+    """Greedy NMS keep mask over up to K boxes.
+
+    Args:
+      boxes: [K, 4] xyxy.
+      scores: [K] floats (ties broken by input order, as torch sort is stable).
+      valid: [K] bool; invalid boxes are never kept and never suppress.
+      iou_threshold: suppress j if IoU(i, j) > threshold for a kept i with
+        higher score (strict >, as torchvision).
+
+    Returns:
+      keep [K] bool in the ORIGINAL box order.
+    """
+    k = boxes.shape[0]
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    # stable descending sort by score
+    order = jnp.argsort(-masked_scores, stable=True)
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = box_iou(sboxes, sboxes)
+    higher = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # [i, j]: i < j
+    suppress = (iou > iou_threshold) & higher & svalid[:, None] & svalid[None, :]
+
+    def cond(state):
+        keep, prev, it = state
+        return jnp.logical_and(jnp.any(keep != prev), it < k)
+
+    def body(state):
+        keep, _, it = state
+        suppressed = jnp.any(suppress & keep[:, None], axis=0)
+        new_keep = svalid & ~suppressed
+        return new_keep, keep, it + 1
+
+    keep0 = svalid
+    keep, _, _ = jax.lax.while_loop(
+        cond, body, (keep0, jnp.zeros_like(keep0), jnp.asarray(0))
+    )
+    # scatter back to original order
+    out = jnp.zeros_like(keep).at[order].set(keep)
+    return out
+
+
+def nms_topk(boxes, scores, valid, iou_threshold: float, top_k: int):
+    """NMS then return the top_k survivors sorted by descending score.
+
+    Returns (boxes [top_k, 4], scores [top_k], valid [top_k], indices [top_k]).
+    Padded slots have valid=False and score=-inf.
+    """
+    keep = nms_keep_mask(boxes, scores, valid, iou_threshold)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    kept_scores = jnp.where(keep, scores, neg_inf)
+    if top_k > boxes.shape[0]:
+        pad = top_k - boxes.shape[0]
+        boxes = jnp.concatenate([boxes, jnp.zeros((pad, 4), boxes.dtype)], axis=0)
+        kept_scores = jnp.concatenate(
+            [kept_scores, jnp.full((pad,), neg_inf, scores.dtype)], axis=0
+        )
+        keep = jnp.concatenate([keep, jnp.zeros((pad,), bool)], axis=0)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, top_k)
+    top_boxes = boxes[top_idx]
+    top_valid = keep[top_idx]
+    top_scores = jnp.where(top_valid, top_scores, neg_inf)
+    return top_boxes, top_scores, top_valid, top_idx

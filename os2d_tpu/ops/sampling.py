@@ -1,0 +1,171 @@
+"""Bilinear sampling ops: align_corners resize, grid_sample, and the fused
+correlation-map resample (the model's hot op).
+
+TPU replacements for F.grid_sample / F.affine_grid use sites in the reference:
+  - class feature-map resize to the 15x15 reference size via an identity
+    affine grid (os2d/modeling/head.py:240-259) -> here a dense interpolation
+    matmul (MXU-friendly), mathematically identical for in-range grids.
+  - resample_of_correlation_map_fast (os2d/modeling/head.py:438-520): the
+    reference merges (channel, y) into one axis and samples in float64 to
+    dodge fp32 coordinate blowup. On TPU we instead gather each template
+    point's own channel directly at full fp32 coordinate precision, so no
+    float64 and no merged-axis trick is needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def _interp_matrix(out_size: int, in_size: int, dtype=jnp.float32):
+    """[out, in] bilinear interpolation matrix with align_corners=True."""
+    if in_size == 1:
+        return jnp.ones((out_size, 1), dtype=dtype)
+    if out_size == 1:
+        # align_corners with a single output point samples coordinate -1 -> 0
+        m = jnp.zeros((1, in_size), dtype=dtype).at[0, 0].set(1.0)
+        return m
+    pos = jnp.linspace(0.0, in_size - 1.0, out_size)
+    i0 = jnp.clip(jnp.floor(pos), 0, in_size - 1).astype(jnp.int32)
+    i1 = jnp.clip(i0 + 1, 0, in_size - 1)
+    w1 = pos - i0
+    w0 = 1.0 - w1
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size), dtype=dtype)
+    m = m.at[rows, i0].add(w0.astype(dtype))
+    m = m.at[rows, i1].add(w1.astype(dtype))
+    return m
+
+
+def resize_bilinear_align_corners(x, out_h: int, out_w: int):
+    """Bilinear resize with align_corners=True on NHWC (or HWC) input.
+
+    Exactly equivalent to F.grid_sample over an identity F.affine_grid
+    (both align_corners=True), the way the reference resizes class feature
+    maps to 15x15 (os2d/modeling/head.py:240-259) — identity grids never
+    leave the input extent so padding mode is irrelevant. Implemented as two
+    dense matmuls to run on the MXU.
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    m_h = _interp_matrix(out_h, h, x.dtype)
+    m_w = _interp_matrix(out_w, w, x.dtype)
+    y = jnp.einsum("oh,nhwc->nowc", m_h, x)
+    y = jnp.einsum("pw,nowc->nopc", m_w, y)
+    if squeeze:
+        y = y[0]
+    return y
+
+
+def grid_sample_bilinear(img, grid, padding_mode: str = "border"):
+    """F.grid_sample(mode=bilinear, align_corners=True) for NHWC images.
+
+    Args:
+      img: [N, H, W, C].
+      grid: [N, ..., 2] normalized (x, y) coords in [-1, 1].
+      padding_mode: 'border' or 'zeros'.
+    Returns:
+      [N, ..., C] sampled values.
+    """
+    n, h, w, c = img.shape
+    gshape = grid.shape[1:-1]
+    grid = grid.reshape(n, -1, 2)
+    px = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    py = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+
+    def _gather(yi, xi):
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = yi_c * w + xi_c  # [N, P]
+        vals = jnp.take_along_axis(
+            img.reshape(n, h * w, c), flat[..., None], axis=1
+        )  # [N, P, C]
+        if padding_mode == "zeros":
+            inside = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+            vals = vals * inside[..., None].astype(vals.dtype)
+        return vals
+
+    v00 = _gather(y0, x0)
+    v01 = _gather(y0, x0 + 1)
+    v10 = _gather(y0 + 1, x0)
+    v11 = _gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    out = (
+        v00 * (1 - wx) * (1 - wy)
+        + v01 * wx * (1 - wy)
+        + v10 * (1 - wx) * wy
+        + v11 * wx * wy
+    )
+    return out.reshape((n,) + gshape + (c,))
+
+
+def resample_correlation_map(corr, grids_unit, pool_mask):
+    """Fused resample + masked pool of the correlation tensor.
+
+    For every anchor (h, w) and template point (ty, tx), bilinearly samples the
+    correlation channel belonging to that template point at the transformed
+    grid position, multiplies by the (spatially normalized) class pool mask and
+    sums over the 15x15 template points. Matches
+    resample_of_correlation_map_fast (os2d/modeling/head.py:438-520) with
+    bilinear / border-padding / align_corners semantics; grids are expected to
+    be pre-clamped to [-1, 1] (as in head.py:384).
+
+    Args:
+      corr: [B, C, H, W, T] correlation maps; channel t = tx * th + ty
+        (the reference's weakalign-compatible "w-major" channel order,
+        os2d/modeling/head.py:342-350).
+      grids_unit: [B, C, H, W, th, tw, 2] normalized (x, y) in [-1, 1] w.r.t.
+        the (W, H) feature-map extent.
+      pool_mask: [C, th, tw] spatially-normalized pooling mask
+        (os2d/modeling/head.py:296-302).
+    Returns:
+      scores [B, C, H, W] (the reference keeps a singleton channel dim).
+    """
+    b, c, h, w, t = corr.shape
+    th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
+    assert th * tw == t, (th, tw, t)
+    a = h * w
+
+    grids = grids_unit.reshape(b, c, a, th, tw, 2)
+    px = (grids[..., 0] + 1.0) * 0.5 * (w - 1)
+    py = (grids[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx = px - x0
+    wy = py - y0
+
+    # rearrange [B, C, A, th, tw] -> [B, C, T, A] with T-index = tx*th + ty
+    def _to_t_major(v):
+        return v.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
+
+    corr_t = corr.reshape(b, c, a, t).transpose(0, 1, 3, 2)  # [B, C, T, A]
+
+    def _gather(yi, xi):
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = _to_t_major(yi_c * w + xi_c)  # [B, C, T, A]
+        return jnp.take_along_axis(corr_t, flat, axis=3)
+
+    v00 = _gather(y0, x0)
+    v01 = _gather(y0, x0 + 1)
+    v10 = _gather(y0 + 1, x0)
+    v11 = _gather(y0 + 1, x0 + 1)
+    wx_t = _to_t_major(wx)
+    wy_t = _to_t_major(wy)
+    sampled = (
+        v00 * (1 - wx_t) * (1 - wy_t)
+        + v01 * wx_t * (1 - wy_t)
+        + v10 * (1 - wx_t) * wy_t
+        + v11 * wx_t * wy_t
+    )  # [B, C, T, A]
+
+    mask_t = pool_mask.transpose(0, 2, 1).reshape(1, c, t, 1).astype(sampled.dtype)
+    scores = jnp.sum(sampled * mask_t, axis=2)  # [B, C, A]
+    return scores.reshape(b, c, h, w)

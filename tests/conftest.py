@@ -1,0 +1,22 @@
+"""Test configuration: force CPU + a virtual 8-device mesh before any test runs.
+
+Unit tests need exact fp32 (the TPU would run matmuls through bf16 MXU passes)
+and the virtual 8-device mesh for multi-chip sharding tests only exists on the
+host platform. The environment may pin JAX_PLATFORMS to the TPU tunnel
+platform, and that plugin ignores the env var — so we override through
+jax.config, which wins.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
