@@ -1,0 +1,202 @@
+"""OS2D detection head: dense correlation + affine alignment + resampled pooling.
+
+Functional TPU port of Os2dHead / Os2dAlignment / Os2dHeadCreator
+(os2d/modeling/head.py:43-435). Classes are a batched array axis (not Python
+closures): class feature maps are precomputed once as [C, 15, 15, F], and
+`head_forward` evaluates any (image batch, class batch) pair under jit/vmap,
+with C chunked by the caller to bound the correlation tensor.
+
+Anchor geometry: the composed receptive field of backbone (rf 16 / stride 16)
+and aligner (rf 15 / stride 1) gives image-level anchors of 240x240 at
+stride 16 (os2d/modeling/head.py:222-238).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.geometry import (
+    affine_grid_2d,
+    invert_affine_2x3,
+    l2_normalize_channels,
+    local_to_global_grid,
+)
+from ..ops.sampling import resample_correlation_map, resize_bilinear_align_corners
+from ..structures.boxes import clip_to_min_size, encode_boxes, strided_anchor_grid
+from ..structures.feature_map import (
+    ALIGNER_GRID_SIZE,
+    ALIGNER_RECEPTIVE_FIELD,
+    ALIGNER_STRIDE,
+    FEATURE_MAP_RECEPTIVE_FIELD,
+    FEATURE_MAP_STRIDE,
+    compose_receptive_field,
+)
+from .transform_net import transform_net_forward
+
+TEMPLATE_H = ALIGNER_GRID_SIZE.h
+TEMPLATE_W = ALIGNER_GRID_SIZE.w
+
+# image-level anchor box / stride (240x240, stride 16 with default geometry)
+ANCHOR_BOX, ANCHOR_STRIDE = compose_receptive_field(
+    FEATURE_MAP_RECEPTIVE_FIELD,
+    FEATURE_MAP_STRIDE,
+    ALIGNER_RECEPTIVE_FIELD,
+    ALIGNER_STRIDE,
+)
+
+POOL_BORDER_WIDTH = 2
+
+
+def make_class_pool_mask(num_classes: int, dtype=jnp.float32):
+    """[C, 15, 15] pooling mask: border of width 2 zeroed, spatially normalized
+    (os2d/modeling/head.py:296-302)."""
+    m = jnp.zeros((TEMPLATE_H, TEMPLATE_W), dtype)
+    m = m.at[
+        POOL_BORDER_WIDTH : TEMPLATE_H - POOL_BORDER_WIDTH,
+        POOL_BORDER_WIDTH : TEMPLATE_W - POOL_BORDER_WIDTH,
+    ].set(1.0)
+    m = m / jnp.sum(m)
+    return jnp.broadcast_to(m[None], (num_classes, TEMPLATE_H, TEMPLATE_W))
+
+
+class ClassHead(NamedTuple):
+    """Precomputed per-class state (the reference's Os2dHead closure contents)."""
+
+    class_feats: jnp.ndarray  # [C, 15, 15, F], L2-normalized over F
+    pool_mask: jnp.ndarray  # [C, 15, 15]
+
+
+def build_class_head(class_feature_maps) -> ClassHead:
+    """Resize per-class feature maps to the 15x15 reference size and normalize.
+
+    Args:
+      class_feature_maps: list of [h_i, w_i, F] arrays (or [1, h_i, w_i, F]),
+        or a single stacked [C, h, w, F] array.
+    """
+    if isinstance(class_feature_maps, (list, tuple)):
+        resized = []
+        for fm in class_feature_maps:
+            if fm.ndim == 4:
+                fm = fm[0]
+            resized.append(resize_bilinear_align_corners(fm, TEMPLATE_H, TEMPLATE_W))
+        feats = jnp.stack(resized, axis=0)
+    else:
+        feats = resize_bilinear_align_corners(class_feature_maps, TEMPLATE_H, TEMPLATE_W)
+    feats = l2_normalize_channels(feats, eps=1e-5, axis=-1)
+    return ClassHead(class_feats=feats, pool_mask=make_class_pool_mask(feats.shape[0], feats.dtype))
+
+
+def _prepare_theta(tparams, simple_affine: bool):
+    """[N, p] regressor outputs -> [N, 2, 3] affine matrices
+    (os2d/modeling/head.py:81-107)."""
+    if simple_affine:
+        z = jnp.zeros_like(tparams[:, 0])
+        theta = jnp.stack(
+            [tparams[:, 0], z, tparams[:, 1], z, tparams[:, 2], tparams[:, 3]], axis=1
+        )
+    else:
+        theta = tparams
+    return theta.reshape(-1, 2, 3)
+
+
+def head_forward(
+    transform_net_params,
+    image_feature_maps,
+    class_head: ClassHead,
+    *,
+    simple_affine: bool = False,
+    use_inverse_geom_model: bool = True,
+    train_mode: bool = False,
+    compute_dtype=jnp.float32,
+):
+    """Score every (image, class, anchor) triple.
+
+    Args:
+      image_feature_maps: [B, H, W, F] backbone features (not yet normalized).
+      class_head: precomputed ClassHead with [C, 15, 15, F] normalized feats.
+
+    Returns dict with:
+      loc:           [B, C, 4, A]  SSD-encoded localization w.r.t. 240/16 anchors
+      cls:           [B, C, A]     recognition scores in [-1, 1]
+      cls_detached:  [B, C, A]     same, transform detached (== cls at eval)
+      corners:       [B, C, 8, A]  transformed box corners (detached, for viz)
+      fm_size:       (H, W)
+    with A = H * W, anchor a = h * W + w.
+    """
+    b, h, w, f = image_feature_maps.shape
+    c = class_head.class_feats.shape[0]
+    a = h * w
+
+    fm = l2_normalize_channels(image_feature_maps, eps=1e-5, axis=-1)
+
+    # dense correlation; corr channel = w_c * 15 + h_c (weakalign order,
+    # os2d/modeling/head.py:342-350)
+    corr = jnp.einsum(
+        "bhwf,cyxf->bchwxy",
+        fm.astype(compute_dtype),
+        class_head.class_feats.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    corr = corr.reshape(b, c, h, w, TEMPLATE_W * TEMPLATE_H)
+
+    # regress transformation parameters per (image, class, anchor)
+    tn_in = corr.reshape(b * c, h, w, TEMPLATE_W * TEMPLATE_H)
+    tparams = transform_net_forward(transform_net_params, tn_in, compute_dtype)
+    theta = _prepare_theta(tparams.reshape(-1, tparams.shape[-1]), simple_affine)
+    if use_inverse_geom_model:
+        theta = invert_affine_2x3(theta)
+
+    grids_local = affine_grid_2d(theta, TEMPLATE_H, TEMPLATE_W)
+    grids_local = grids_local.reshape(b, c, h, w, TEMPLATE_H, TEMPLATE_W, 2)
+
+    # (1) recognition: grids w.r.t. feature-map-level anchors (box 15, stride 1)
+    boxes_fm = strided_anchor_grid(
+        w, h, float(ALIGNER_RECEPTIVE_FIELD.w), float(ALIGNER_RECEPTIVE_FIELD.h),
+        float(ALIGNER_STRIDE.w), float(ALIGNER_STRIDE.h),
+    ).reshape(1, 1, h, w, 4)
+    grids_fm = local_to_global_grid(grids_local, boxes_fm)
+    gx = grids_fm[..., 0] / (w - 1) * 2.0 - 1.0
+    gy = grids_fm[..., 1] / (h - 1) * 2.0 - 1.0
+    grids_unit = jnp.clip(jnp.stack([gx, gy], axis=-1), -1.0, 1.0)
+
+    cls = resample_correlation_map(corr, grids_unit, class_head.pool_mask)
+    if train_mode:
+        cls_detached = resample_correlation_map(
+            corr, jax.lax.stop_gradient(grids_unit), class_head.pool_mask
+        )
+    else:
+        cls_detached = cls
+
+    # (2) localization: grids w.r.t. image-level anchors (box 240, stride 16)
+    boxes_img = strided_anchor_grid(
+        w, h, float(ANCHOR_BOX.w), float(ANCHOR_BOX.h),
+        float(ANCHOR_STRIDE.w), float(ANCHOR_STRIDE.h),
+    ).reshape(1, 1, h, w, 4)
+    grids_img = local_to_global_grid(grids_local, boxes_img)
+
+    gxs = grids_img[..., 0].reshape(b, c, h, w, -1)
+    gys = grids_img[..., 1].reshape(b, c, h, w, -1)
+    class_boxes = jnp.stack(
+        [gxs.min(-1), gys.min(-1), gxs.max(-1), gys.max(-1)], axis=-1
+    )  # [B, C, H, W, 4]
+    class_boxes = clip_to_min_size(class_boxes, 1.0)
+    default_boxes = clip_to_min_size(boxes_img, 1.0)
+    loc = encode_boxes(class_boxes, default_boxes)  # [B, C, H, W, 4]
+
+    # corners of the transformed grids, detached (os2d/modeling/head.py:421-425)
+    corners = jax.lax.stop_gradient(
+        grids_img[:, :, :, :, (0, TEMPLATE_H - 1), :, :][
+            :, :, :, :, :, (0, TEMPLATE_W - 1), :
+        ]
+    ).reshape(b, c, h, w, 8)
+
+    return {
+        "loc": loc.transpose(0, 1, 4, 2, 3).reshape(b, c, 4, a),
+        "cls": cls.reshape(b, c, a),
+        "cls_detached": cls_detached.reshape(b, c, a),
+        "corners": corners.transpose(0, 1, 4, 2, 3).reshape(b, c, 8, a),
+        "fm_size": (h, w),
+    }

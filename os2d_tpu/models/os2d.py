@@ -1,0 +1,247 @@
+"""OS2D model facade: parameter pytree, forward functions, checkpoint import.
+
+TPU rebuild of Os2dModel (os2d/modeling/model.py:123-386). The model is a pure
+function over a params pytree:
+
+  params = {
+    "backbone":      ResNet-C4 params (input-image branch),
+    "label_backbone": ResNet-C4 params for class images — the SAME object as
+                      "backbone" when merge_branch_parameters (reference
+                      default, model.py:144-146),
+    "transform_net":  TransformationNet params,
+  }
+
+Class heads are not stateful submodules (the reference's Os2dHead closures,
+model.py:197-233): class features are a [C, 15, 15, F] array computed once and
+passed around explicitly, so classes vmap/shard as a batch axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..structures.feature_map import FeatureMapSize, feature_map_size_for_image
+from .head import ClassHead, build_class_head, head_forward
+from .resnet import (
+    import_torch_resnet_state_dict,
+    init_resnet_c4_params,
+    resnet_c4_forward,
+)
+from .transform_net import (
+    import_torch_transform_net_state_dict,
+    init_transform_net_params,
+)
+
+IMG_NORMALIZATION_MEAN = (0.485, 0.456, 0.406)
+IMG_NORMALIZATION_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class Os2dConfig:
+    """Static model configuration (mirrors cfg.model, os2d/config.py:14-29)."""
+
+    backbone_arch: str = "resnet50"
+    merge_branch_parameters: bool = True
+    use_inverse_geom_model: bool = True
+    use_simplified_affine_model: bool = False
+    use_group_norm: bool = False
+    class_image_size: int = 240
+    normalization_mean: tuple = IMG_NORMALIZATION_MEAN
+    normalization_std: tuple = IMG_NORMALIZATION_STD
+    compute_dtype: str = "float32"
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.compute_dtype)
+
+
+def init_os2d_params(key, config: Os2dConfig):
+    k1, k2, k3 = jax.random.split(key, 3)
+    backbone = init_resnet_c4_params(k1, config.backbone_arch, config.use_group_norm)
+    label_backbone = (
+        backbone
+        if config.merge_branch_parameters
+        else init_resnet_c4_params(k2, config.backbone_arch, config.use_group_norm)
+    )
+    transform_net = init_transform_net_params(
+        k3, 4 if config.use_simplified_affine_model else 6
+    )
+    return {
+        "backbone": backbone,
+        "label_backbone": label_backbone,
+        "transform_net": transform_net,
+    }
+
+
+def normalize_images(images_nhwc, config: Os2dConfig):
+    """Apply the dataset mean/std normalization to [0,1]-range NHWC images."""
+    mean = jnp.asarray(config.normalization_mean, jnp.float32)
+    std = jnp.asarray(config.normalization_std, jnp.float32)
+    return (images_nhwc - mean) / std
+
+
+class Os2dModel:
+    """Convenience wrapper bundling config + jitted forward functions.
+
+    All heavy lifting lives in pure functions; this class only caches jitted
+    specializations. Safe to use from the eval/train engines and the API layer.
+    """
+
+    def __init__(self, config: Os2dConfig):
+        self.config = config
+        self._extract_jit = jax.jit(self._extract)
+        self._extract_label_jit = jax.jit(self._extract_label)
+        self._head_jit = jax.jit(self._head, static_argnames=("train_mode",))
+
+    # ---- pure functions ----
+    def _extract(self, params, images_nhwc):
+        return resnet_c4_forward(params["backbone"], images_nhwc, self.config.dtype)
+
+    def _extract_label(self, params, images_nhwc):
+        return resnet_c4_forward(
+            params["label_backbone"], images_nhwc, self.config.dtype
+        )
+
+    def _head(self, params, feature_maps, class_head: ClassHead, train_mode: bool):
+        return head_forward(
+            params["transform_net"],
+            feature_maps,
+            class_head,
+            simple_affine=self.config.use_simplified_affine_model,
+            use_inverse_geom_model=self.config.use_inverse_geom_model,
+            train_mode=train_mode,
+            compute_dtype=self.config.dtype,
+        )
+
+    # ---- public API ----
+    def extract_features(self, params, images_nhwc):
+        """[B, H, W, 3] normalized images -> [B, H/16, W/16, 1024]."""
+        return self._extract_jit(params, images_nhwc)
+
+    def build_class_head_from_images(self, params, class_images) -> ClassHead:
+        """Class images (list of [h, w, 3] normalized arrays, possibly of
+        different sizes) -> ClassHead with [C, 15, 15, F] features.
+
+        Images of identical shape are batched into one backbone call; jit
+        compiles once per unique shape (shapes come from a small palette).
+        """
+        by_shape = {}
+        for i, img in enumerate(class_images):
+            by_shape.setdefault(tuple(img.shape), []).append(i)
+        feats = [None] * len(class_images)
+        for shape, idxs in by_shape.items():
+            batch = jnp.stack([jnp.asarray(class_images[i]) for i in idxs])
+            fm = self._extract_label_jit(params, batch)
+            for j, i in enumerate(idxs):
+                feats[i] = fm[j]
+        return build_class_head(feats)
+
+    def apply_head(self, params, feature_maps, class_head: ClassHead,
+                   train_mode: bool = False):
+        """Feature maps + class head -> dict(loc, cls, cls_detached, corners)."""
+        return self._head_jit(params, feature_maps, class_head, train_mode=train_mode)
+
+    def get_feature_map_size(self, img_size: FeatureMapSize) -> FeatureMapSize:
+        """Static-arithmetic replacement of the reference's dummy-forward probe
+        (os2d/modeling/model.py:98-120)."""
+        return feature_map_size_for_image(img_size)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint import (released PyTorch checkpoints -> params pytree)
+# ---------------------------------------------------------------------------
+
+def import_os2d_torch_checkpoint(state_dict, config: Os2dConfig):
+    """Map an Os2dModel state_dict ("net" entry of a reference checkpoint,
+    os2d/utils/logger.py:137-160) onto the JAX params pytree.
+
+    Reference module paths:
+      net_feature_maps.*                         -> backbone
+      net_label_features.net_class_features.*    -> label_backbone
+      os2d_head_creator.aligner.parameter_regressor.* -> transform_net
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    backbone = import_torch_resnet_state_dict(
+        sd, config.backbone_arch, config.use_group_norm, prefix="net_feature_maps."
+    )
+    label_prefix = "net_label_features.net_class_features."
+    if config.merge_branch_parameters:
+        label_backbone = backbone
+    else:
+        label_backbone = import_torch_resnet_state_dict(
+            sd, config.backbone_arch, config.use_group_norm, prefix=label_prefix
+        )
+    transform_net = import_torch_transform_net_state_dict(
+        sd, prefix="os2d_head_creator.aligner.parameter_regressor."
+    )
+    return {
+        "backbone": backbone,
+        "label_backbone": label_backbone,
+        "transform_net": transform_net,
+    }
+
+
+def import_weakalign_checkpoint(state_dict, config: Os2dConfig,
+                                params: Optional[dict] = None, key=None):
+    """Init from a weakalign-format checkpoint (os2d/modeling/model.py:389-426):
+    FeatureExtraction.model.* -> resnet names, FeatureRegression.* -> the affine
+    regressor with linear.weight reshaped to a 5x5 conv."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    if params is None:
+        params = init_os2d_params(key or jax.random.PRNGKey(0), config)
+
+    remap = {"conv1.": "FeatureExtraction.model.0.", "bn1.": "FeatureExtraction.model.1."}
+    for idx in range(3):
+        remap[f"layer1.{idx}."] = f"FeatureExtraction.model.4.{idx}."
+    for idx in range(4):
+        remap[f"layer2.{idx}."] = f"FeatureExtraction.model.5.{idx}."
+    for idx in range(23):
+        remap[f"layer3.{idx}."] = f"FeatureExtraction.model.6.{idx}."
+
+    resnet_sd = {}
+    for tgt, src in remap.items():
+        for k in list(sd.keys()):
+            if k.startswith(src):
+                resnet_sd[tgt + k[len(src):]] = sd[k]
+    try:
+        backbone = import_torch_resnet_state_dict(
+            resnet_sd, config.backbone_arch, config.use_group_norm
+        )
+        params = dict(params, backbone=backbone, label_backbone=backbone)
+    except KeyError:
+        pass  # partial init: keep existing backbone where weakalign lacks layers
+
+    reg_sd = {}
+    for k in list(sd.keys()):
+        if k.startswith("FeatureRegression."):
+            v = sd[k]
+            name = k[len("FeatureRegression."):]
+            if name == "linear.weight":
+                v = v.reshape(-1, 64, 5, 5)  # conv-ified linear (model.py:426)
+            reg_sd[name] = v
+    if reg_sd:
+        params = dict(
+            params, transform_net=import_torch_transform_net_state_dict(reg_sd)
+        )
+    return params
+
+
+def load_checkpoint_file(path: str, config: Os2dConfig):
+    """Load a reference .pth checkpoint from disk (requires torch for unpickling)."""
+    import torch
+
+    checkpoint = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(checkpoint, dict) and "net" in checkpoint:
+        sd = checkpoint["net"]
+        optimizer_state = checkpoint.get("optimizer")
+        return import_os2d_torch_checkpoint(sd, config), optimizer_state
+    if isinstance(checkpoint, dict) and "state_dict" in checkpoint:
+        return import_weakalign_checkpoint(checkpoint["state_dict"], config), None
+    # assume a raw state_dict
+    return import_os2d_torch_checkpoint(checkpoint, config), None
