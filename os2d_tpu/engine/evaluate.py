@@ -1,0 +1,256 @@
+"""Evaluation engine: multiscale one-shot detection over a dataset.
+
+TPU rebuild of os2d/engine/evaluate.py:21-371. Key structural changes vs the
+reference:
+  - class feature maps are precomputed ONCE as a [C_views, 15, 15, F] array
+    (the reference rebuilds an Os2dHead per class with class_batch_size
+    hard-coded to 1, evaluate.py:226-227);
+  - the per-class Python loop over heads (the reference's eval hot loop,
+    evaluate.py:323-331) becomes a vmapped/batched class axis, processed in
+    chunks of cfg.tpu.eval_class_chunk to bound the correlation tensor;
+  - decoding + NMS run on device with static shapes (engine/decode.py);
+  - test-time class augmentation (rotation90 / horflip / horflip_rotation90,
+    evaluate.py:241-269) adds contiguous view rows per class; views of the
+    same class are merged before NMS by reshaping [C*V, A] -> [C, V*A], which
+    reproduces the reference's joint per-class NMS over views.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.voc_eval import do_voc_evaluation
+from ..models.head import ClassHead
+from ..structures.feature_map import FeatureMapSize
+from .decode import decode_pyramid
+
+
+def augment_class_images(class_images: List[np.ndarray], mode: str):
+    """Expand class images with TTA views; returns (views, num_views_per_class).
+
+    View layout matches the reference (evaluate.py:241-269): per class,
+    contiguous [orig, rot90, rot180, rot270] / [orig, flip] / all 8.
+    Arrays are [h, w, 3]; rot90 rotates in the (h, w) plane like torch
+    rot90(1, [H, W]); horflip flips the width axis.
+    """
+    if not mode:
+        return list(class_images), 1
+    views = []
+    for im in class_images:
+        if mode == "rotation90":
+            im90 = np.rot90(im, 1, axes=(0, 1))
+            views += [im, im90, np.rot90(im90, 1, axes=(0, 1)),
+                      np.rot90(im90, 2, axes=(0, 1))]
+        elif mode == "horflip":
+            views += [im, im[:, ::-1]]
+        elif mode == "horflip_rotation90":
+            im90 = np.rot90(im, 1, axes=(0, 1))
+            im180 = np.rot90(im90, 1, axes=(0, 1))
+            im270 = np.rot90(im180, 1, axes=(0, 1))
+            views += [im, im90, im180, im270,
+                      im[:, ::-1], im90[:, ::-1], im180[:, ::-1], im270[:, ::-1]]
+        else:
+            raise RuntimeError(f"Unknown class_image_augmentation: {mode}")
+    num_views = {"rotation90": 4, "horflip": 2, "horflip_rotation90": 8}[mode]
+    return [np.ascontiguousarray(v) for v in views], num_views
+
+
+class Evaluator:
+    """Caches jitted decode specializations per pyramid-shape signature."""
+
+    def __init__(self, model, cfg, logger_prefix="OS2D.eval"):
+        self.model = model
+        self.cfg = cfg
+        self.logger = logging.getLogger(logger_prefix)
+        self._decode_cache = {}
+
+    # ---- class features ----
+    def build_class_heads(self, params, class_images: List[np.ndarray],
+                          class_image_augmentation: str = ""):
+        views, num_views = augment_class_images(
+            class_images, class_image_augmentation
+        )
+        class_head = self.model.build_class_head_from_images(params, views)
+        return class_head, num_views
+
+    # ---- per-batch scoring ----
+    def score_pyramid(self, params, pyramid_images: List[np.ndarray],
+                      class_head: ClassHead):
+        """Run backbone + head over all pyramid levels and all classes.
+
+        Args:
+          pyramid_images: per level [B, h_l, w_l, 3] arrays.
+        Returns per level dicts with loc [B, Cv, 4, A_l], cls [B, Cv, A_l].
+        """
+        chunk = int(self.cfg.tpu.eval_class_chunk)
+        c_total = class_head.class_feats.shape[0]
+        outputs = []
+        for level_images in pyramid_images:
+            fm = self.model.extract_features(params, jnp.asarray(level_images))
+            locs, clss = [], []
+            for start in range(0, c_total, chunk):
+                end = min(start + chunk, c_total)
+                # pad the last chunk to the full chunk size to avoid recompiles
+                pad = chunk - (end - start)
+                feats = class_head.class_feats[start:end]
+                mask = class_head.pool_mask[start:end]
+                if pad:
+                    feats = jnp.concatenate(
+                        [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)]
+                    )
+                    mask = jnp.concatenate(
+                        [mask, jnp.zeros((pad,) + mask.shape[1:], mask.dtype)]
+                    )
+                out = self.model.apply_head(
+                    params, fm, ClassHead(feats, mask), train_mode=False
+                )
+                locs.append(out["loc"][:, : end - start])
+                clss.append(out["cls"][:, : end - start])
+            outputs.append(
+                {
+                    "loc": jnp.concatenate(locs, axis=1),
+                    "cls": jnp.concatenate(clss, axis=1),
+                }
+            )
+        return outputs
+
+    # ---- decoding ----
+    def decode_image(self, level_outputs, image_index: int,
+                     img_sizes: List[FeatureMapSize],
+                     inverse_scales: List[tuple], num_views: int):
+        """Decode one image of the batch into top-K detections per class."""
+        loc_pyramid = [o["loc"][image_index] for o in level_outputs]
+        cls_pyramid = [o["cls"][image_index] for o in level_outputs]
+
+        if num_views > 1:
+            # views of one class occupy contiguous rows [c*V .. c*V+V-1]; merge
+            # them for joint per-class NMS by treating each view as an EXTRA
+            # pyramid level: slice rows [v::V] -> [C, ...] per (level, view)
+            loc_pyramid = [
+                loc[v::num_views] for loc in loc_pyramid for v in range(num_views)
+            ]
+            cls_pyramid = [
+                cls[v::num_views] for cls in cls_pyramid for v in range(num_views)
+            ]
+            img_sizes = [s for s in img_sizes for _ in range(num_views)]
+            inverse_scales = [s for s in inverse_scales for _ in range(num_views)]
+
+        key = (
+            tuple(img_sizes),
+            tuple(x.shape for x in loc_pyramid),
+            tuple(inverse_scales),
+        )
+        if key not in self._decode_cache:
+            sizes = list(img_sizes)
+            scales = list(inverse_scales)
+
+            @jax.jit
+            def _decode(loc_p, cls_p):
+                return decode_pyramid(
+                    loc_p, cls_p, sizes, scales,
+                    nms_iou_threshold=float(self.cfg.eval.nms_iou_threshold),
+                    score_threshold=float(self.cfg.eval.nms_score_threshold),
+                    pre_top_k=int(self.cfg.tpu.eval_pre_top_k),
+                    top_k=int(self.cfg.tpu.eval_top_k),
+                    nms_across_classes=bool(self.cfg.eval.nms_across_classes),
+                )
+
+            self._decode_cache[key] = _decode
+        return self._decode_cache[key](loc_pyramid, cls_pyramid)
+
+
+def evaluate(dataloader, model, params, cfg, criterion=None,
+             print_per_class_results=False, logger_prefix="OS2D.eval"):
+    """Full-dataset evaluation -> {mAP@iou: value, ...} (os2d/engine/evaluate.py:21-174)."""
+    logger = logging.getLogger(f"{logger_prefix}.evaluate")
+    dataset_name = dataloader.get_name()
+    logger.info(f"Starting evaluation on {dataset_name}")
+    t_start = time.time()
+
+    evaluator = Evaluator(model, cfg, logger_prefix)
+    class_images, _, class_ids = dataloader.get_all_class_images()
+    class_head, num_views = evaluator.build_class_heads(
+        params, class_images, cfg.eval.class_image_augmentation
+    )
+
+    predictions = []
+    gts = []
+    for batch_ids, pyramids, inverse_scales, _, initial_sizes in (
+        dataloader.make_iterator_for_all_images(cfg.eval.batch_size)
+    ):
+        level_outputs = evaluator.score_pyramid(params, pyramids, class_head)
+        img_sizes = [
+            FeatureMapSize(w=p.shape[2], h=p.shape[1]) for p in pyramids
+        ]
+        for i_image, image_id in enumerate(batch_ids):
+            out = evaluator.decode_image(
+                level_outputs, i_image, img_sizes,
+                [tuple(s) for s in inverse_scales[i_image]], num_views,
+            )
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            valid = np.asarray(out["valid"])
+
+            det_boxes, det_scores, det_labels = [], [], []
+            for row in range(boxes.shape[0]):
+                m = valid[row]
+                det_boxes.append(boxes[row][m])
+                det_scores.append(scores[row][m])
+                det_labels.append(np.full(int(m.sum()), class_ids[row], np.int64))
+            det_boxes = (
+                np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32)
+            )
+            det_scores = (
+                np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32)
+            )
+            det_labels = (
+                np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64)
+            )
+
+            init_size = initial_sizes[i_image]
+            predictions.append(
+                {
+                    "boxes": det_boxes,
+                    "scores": det_scores,
+                    "labels": det_labels,
+                    "image_size": (init_size.w, init_size.h),
+                }
+            )
+            ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+            gts.append(
+                {
+                    "boxes": ann.bbox_xyxy,
+                    "labels": ann.get_field("labels"),
+                    "difficult": ann.get_field("difficult"),
+                    "image_size": (ann.image_size.w, ann.image_size.h),
+                }
+            )
+
+    results = {}
+    for iou_thresh in cfg.eval.mAP_iou_thresholds:
+        res = do_voc_evaluation(predictions, gts, iou_thresh=iou_thresh)
+        results[f"mAP@{iou_thresh:0.2f}"] = res["map"]
+        results[f"mAPw@{iou_thresh:0.2f}"] = res["map_weighted"]
+        results[f"recall@{iou_thresh:0.2f}"] = res["recall"]
+        results[f"AP_joint_classes@{iou_thresh:0.2f}"] = res["ap_joint_classes"]
+        if print_per_class_results:
+            for cid in sorted(set(int(c) for c in class_ids)):
+                if cid < len(res["ap_per_class"]):
+                    results[f"mAP@{iou_thresh:0.2f}_class_{cid}"] = float(
+                        res["ap_per_class"][cid]
+                    )
+        logger.info(
+            f"{dataset_name} mAP@{iou_thresh}: {res['map']:0.4f} "
+            f"(weighted {res['map_weighted']:0.4f}, recall {res['recall']:0.4f})"
+        )
+
+    results["eval_time"] = time.time() - t_start
+    logger.info(f"Evaluation on {dataset_name} took {results['eval_time']:0.2f}s")
+    return results

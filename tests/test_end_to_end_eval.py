@@ -1,0 +1,104 @@
+"""End-to-end eval slice: synthetic dataset with planted class patches.
+
+Even with random backbone weights, a class image planted verbatim in the scene
+at the anchor size (240x240) produces near-identical features, so the
+correlation score peaks at the planted location and the identity-initialized
+aligner decodes the box there. This exercises dataset -> dataloader ->
+backbone -> class heads -> head -> decode -> NMS -> VOC mAP end to end.
+"""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+from PIL import Image
+
+import jax
+
+from os2d_tpu.config import get_default_cfg
+from os2d_tpu.data.dataset import DatasetOneShotDetection
+from os2d_tpu.data.dataloader import DataloaderOneShotDetection
+from os2d_tpu.engine.evaluate import evaluate
+from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+
+IMG_W, IMG_H = 640, 480
+PATCH = 240
+
+
+def make_synthetic_dataset(root):
+    rng = np.random.RandomState(0)
+    os.makedirs(os.path.join(root, "classes", "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "src"), exist_ok=True)
+
+    # class images: structured random textures
+    class_patches = {}
+    for cid in (0, 1):
+        patch = rng.randint(0, 255, (PATCH // 8, PATCH // 8, 3), np.uint8)
+        patch = np.kron(patch, np.ones((8, 8, 1), np.uint8))  # blocky texture
+        class_patches[cid] = patch
+        Image.fromarray(patch).save(
+            os.path.join(root, "classes", "images", f"class{cid}.jpg"), quality=95
+        )
+
+    # scene images with planted patches at anchor-aligned positions
+    rows = []
+    planted = {0: [(48, 48, 0)], 1: [(336, 176, 1), (48, 112, 0)]}
+    for image_id, plants in planted.items():
+        img = rng.randint(0, 60, (IMG_H, IMG_W, 3), np.uint8)
+        for (x0, y0, cid) in plants:
+            img[y0: y0 + PATCH, x0: x0 + PATCH] = class_patches[cid]
+            rows.append(
+                dict(
+                    imageid=image_id,
+                    imagefilename=f"img{image_id}.jpg",
+                    classid=cid,
+                    classfilename=f"class{cid}.jpg",
+                    gtbboxid=len(rows),
+                    difficult=0,
+                    lx=x0 / IMG_W,
+                    ty=y0 / IMG_H,
+                    rx=(x0 + PATCH) / IMG_W,
+                    by=(y0 + PATCH) / IMG_H,
+                )
+            )
+        Image.fromarray(img).save(
+            os.path.join(root, "src", f"img{image_id}.jpg"), quality=95
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def synthetic_loader(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("synth"))
+    df = make_synthetic_dataset(root)
+    dataset = DatasetOneShotDetection(
+        df,
+        gt_path=os.path.join(root, "classes", "images"),
+        image_path=os.path.join(root, "src"),
+        name="synth-test",
+        image_size=IMG_W,
+        eval_scale=IMG_W,
+        cache_images=True,
+    )
+    return DataloaderOneShotDetection(
+        dataset=dataset, batch_size=1, pyramid_scales_eval=[1.0],
+        do_augmentation=False,
+    )
+
+
+def test_end_to_end_eval_detects_planted_patches(synthetic_loader):
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 512
+    cfg.tpu.eval_top_k = 64
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+
+    results = evaluate(synthetic_loader, model, params, cfg)
+    assert "mAP@0.50" in results
+    # planted identical patches must be found even with random features
+    assert results["mAP@0.50"] > 0.9, results
