@@ -620,9 +620,16 @@ def build_train_dataloader_from_config(cfg, img_normalization=None,
     evaluation_scale = dataset_train.eval_scale / dataset_train.image_size
     pyramid = [p * evaluation_scale for p in cfg.eval.scales_of_image_pyramid]
 
+    # train batches need ONE class-image shape so the jitted train step keeps a
+    # single signature; default: square class_image_size canvas (the reference
+    # resizes aspect-preserved to the same area, dataloader.py:357-385)
+    square = FeatureMapSize(
+        w=cfg.model.class_image_size, h=cfg.model.class_image_size
+    )
     dataloader = DataloaderOneShotDetection(
         dataset=dataset_train, batch_size=cfg.train.batch_size,
         class_batch_size=cfg.train.class_batch_size,
+        class_shape_palette=[(square.w, square.h)],
         img_normalization=img_normalization,
         random_flip_batches=cfg.train.augment.random_flip_batches,
         random_crop_size=random_crop_size, random_crop_scale=evaluation_scale,

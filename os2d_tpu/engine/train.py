@@ -1,0 +1,439 @@
+"""Training engine: fully-jitted train step + trainval loop.
+
+TPU rebuild of os2d/engine/train.py:28-567. The reference's per-batch Python
+sequence (forward -> host remap loops -> loss -> backward -> clip -> NaN dump)
+compiles here into ONE XLA program per batch signature:
+  encode targets (device, vmapped) -> forward (backbone + label branch + head)
+  -> remap (device, vmapped) -> objective -> grads -> global-norm clip ->
+  finite-guard (skip update on non-finite grad norm, the reference dumps a
+  reproducer and skips, train.py:116-131) -> optax update.
+
+Gradients flow through the label branch (fine-tune-features semantics,
+model.py:259-269); class images come in as ONE batched array (the train
+dataloader resizes them to a single palette shape), padded to a static class
+count with padded rows excluded from the loss via ignore targets.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.head import ANCHOR_BOX, ANCHOR_STRIDE, build_class_head, head_forward
+from ..models.resnet import resnet_c4_forward
+from ..structures.boxes import strided_anchor_grid
+from ..structures.feature_map import FeatureMapSize, feature_map_size_for_image
+from ..utils.logger import (
+    add_to_meters_in_dict,
+    checkpoint_model,
+    init_log,
+    log_meters,
+    print_meters,
+    time_since,
+)
+from .objective import ObjectiveConfig, compute_objective
+from .optimization import get_learning_rate, set_learning_rate, setup_lr
+from .targets import encode_targets_single_image, remap_targets
+
+
+def default_boxes_for_size(img_size: FeatureMapSize):
+    fm = feature_map_size_for_image(img_size)
+    return strided_anchor_grid(
+        fm.w, fm.h,
+        float(ANCHOR_BOX.w), float(ANCHOR_BOX.h),
+        float(ANCHOR_STRIDE.w), float(ANCHOR_STRIDE.h),
+    )
+
+
+class TrainStep:
+    """Caches jitted train-step specializations per batch signature."""
+
+    def __init__(self, model_cfg, objective_cfg: ObjectiveConfig, optimizer,
+                 train_cfg):
+        self.model_cfg = model_cfg
+        self.objective_cfg = objective_cfg
+        self.optimizer = optimizer
+        self.train_cfg = train_cfg  # cfg.train node
+        self._step_cache = {}
+
+    def _make_step(self, num_classes: int):
+        model_cfg = self.model_cfg
+        obj_cfg = self.objective_cfg
+        optimizer = self.optimizer
+        tcfg = self.train_cfg
+        train_features = bool(tcfg.model.train_features)
+        train_transform_on_negs = bool(tcfg.model.train_transform_on_negs)
+        max_grad_norm = float(tcfg.optim.max_grad_norm)
+        pos_thr = float(tcfg.objective.positive_iou_threshold)
+        neg_thr = float(tcfg.objective.negative_iou_threshold)
+        remap_pos = float(tcfg.objective.remap_classification_targets_iou_pos)
+        remap_neg = float(tcfg.objective.remap_classification_targets_iou_neg)
+
+        def loss_fn(params, images, class_images, class_valid, gt_boxes,
+                    gt_labels, gt_difficult, gt_valid, default_boxes):
+            fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
+            class_fm = resnet_c4_forward(
+                params["label_backbone"], class_images, model_cfg.dtype
+            )
+            if not train_features:
+                fm = jax.lax.stop_gradient(fm)
+                class_fm = jax.lax.stop_gradient(class_fm)
+            class_head = build_class_head(class_fm)
+
+            out = head_forward(
+                params["transform_net"], fm, class_head,
+                simple_affine=model_cfg.use_simplified_affine_model,
+                use_inverse_geom_model=model_cfg.use_inverse_geom_model,
+                train_mode=True, compute_dtype=model_cfg.dtype,
+            )
+
+            # device-side target encoding (the reference encodes on host in the
+            # dataloader, dataloader.py:599)
+            loc_t, cls_t = jax.vmap(
+                partial(
+                    encode_targets_single_image,
+                    num_labels=num_classes,
+                    positive_iou_threshold=pos_thr,
+                    negative_iou_threshold=neg_thr,
+                ),
+                in_axes=(0, 0, 0, 0, None),
+            )(gt_boxes, gt_labels, gt_difficult, gt_valid, default_boxes)
+
+            # post-forward remapping on the PREDICTED boxes (no grads)
+            cls_remapped, ious_anchor, ious_corrected = remap_targets(
+                jax.lax.stop_gradient(out["loc"]),
+                gt_boxes, gt_labels, gt_difficult, gt_valid, default_boxes,
+                remap_iou_pos=remap_pos, remap_iou_neg=remap_neg,
+            )
+
+            # padded class rows -> ignore everywhere
+            cvalid = class_valid[None, :, None]
+            cls_t = jnp.where(cvalid, cls_t, -1)
+            cls_remapped = jnp.where(cvalid, cls_remapped, -1)
+
+            losses, _ = compute_objective(
+                obj_cfg,
+                out["loc"], loc_t, out["cls"], cls_t,
+                cls_targets_remapped=cls_remapped,
+                cls_preds_for_neg=(
+                    None if train_transform_on_negs else out["cls_detached"]
+                ),
+            )
+            return losses["loss"], losses
+
+        @jax.jit
+        def step(params, opt_state, images, class_images, class_valid, gt_boxes,
+                 gt_labels, gt_difficult, gt_valid, default_boxes):
+            (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, images, class_images, class_valid, gt_boxes, gt_labels,
+                gt_difficult, gt_valid, default_boxes,
+            )
+            grad_norm = optax_global_norm(grads)
+            # torch-style clip_grad_norm_
+            scale = jnp.minimum(1.0, max_grad_norm / (grad_norm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            finite = jnp.isfinite(grad_norm)
+            updates, new_opt_state = optimizer.update(grads, opt_state, params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: jnp.where(finite, p + u, p), params, updates
+            )
+            new_opt_state = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(finite, new, old), new_opt_state, opt_state
+            )
+            metrics = {k: v for k, v in losses.items()}
+            metrics["grad_norm"] = grad_norm
+            return new_params, new_opt_state, metrics
+
+        return step
+
+    def __call__(self, params, opt_state, batch_arrays, num_classes):
+        key = (
+            num_classes,
+            batch_arrays["images"].shape,
+            batch_arrays["class_images"].shape,
+            batch_arrays["gt_boxes"].shape,
+        )
+        if key not in self._step_cache:
+            self._step_cache[key] = self._make_step(num_classes)
+        return self._step_cache[key](
+            params, opt_state,
+            batch_arrays["images"], batch_arrays["class_images"],
+            batch_arrays["class_valid"], batch_arrays["gt_boxes"],
+            batch_arrays["gt_labels"], batch_arrays["gt_difficult"],
+            batch_arrays["gt_valid"], batch_arrays["default_boxes"],
+        )
+
+
+def optax_global_norm(tree):
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def build_trainable_mask(params, train_cfg):
+    """Pytree of bools: False for frozen leaves (freeze_transform /
+    num_frozen_extractor_blocks, os2d/modeling/model.py:56-63)."""
+    mask = jax.tree_util.tree_map(lambda _: True, params)
+    if train_cfg.model.freeze_transform:
+        mask["transform_net"] = jax.tree_util.tree_map(
+            lambda _: False, params["transform_net"]
+        )
+    n_frozen = int(train_cfg.model.num_frozen_extractor_blocks)
+    if n_frozen > 0:
+        for branch in ("backbone", "label_backbone"):
+            remaining = n_frozen
+            # block 1: conv1 + bn1
+            if remaining > 0:
+                mask[branch]["conv1"] = False
+                mask[branch]["bn1"] = jax.tree_util.tree_map(
+                    lambda _: False, params[branch]["bn1"]
+                )
+                remaining -= 1
+            for layer in ("layer1", "layer2", "layer3"):
+                for i, block in enumerate(params[branch][layer]):
+                    if remaining > 0:
+                        mask[branch][layer][i] = jax.tree_util.tree_map(
+                            lambda _: False, block
+                        )
+                        remaining -= 1
+    if not train_cfg.model.train_features:
+        for branch in ("backbone", "label_backbone"):
+            mask[branch] = jax.tree_util.tree_map(lambda _: False, params[branch])
+    return mask
+
+
+def pad_class_batch(class_images, num_real, pad_to):
+    """Stack same-shape class images and pad to a static class count."""
+    arr = np.stack(class_images, 0).astype(np.float32)
+    if num_real < pad_to:
+        pad = np.zeros((pad_to - num_real,) + arr.shape[1:], np.float32)
+        arr = np.concatenate([arr, pad], 0)
+    valid = np.zeros((pad_to,), bool)
+    valid[:num_real] = True
+    return arr, valid
+
+
+def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
+    """Host batch dict (from the dataloader) -> static-shape device arrays."""
+    class_images = batch["class_images"]
+    shapes = {im.shape for im in class_images}
+    assert len(shapes) == 1, (
+        "train batches need a single class-image shape; configure the train "
+        f"dataloader with a one-entry class shape palette (got {shapes})"
+    )
+    c_real = len(class_images)
+    c_pad = max(class_pad_multiple,
+                math.ceil(c_real / class_pad_multiple) * class_pad_multiple)
+    class_arr, class_valid = pad_class_batch(class_images, c_real, c_pad)
+
+    img_size = batch["img_size"]
+    arrays = {
+        "images": jnp.asarray(batch["images"]),
+        "class_images": jnp.asarray(class_arr),
+        "class_valid": jnp.asarray(class_valid),
+        "gt_boxes": jnp.asarray(batch["gt_boxes"]),
+        "gt_labels": jnp.asarray(batch["gt_labels"]),
+        "gt_difficult": jnp.asarray(batch["gt_difficult"]),
+        "gt_valid": jnp.asarray(batch["gt_valid"]),
+        "default_boxes": default_boxes_for_size(img_size),
+    }
+    return arrays, c_pad
+
+
+def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger):
+    """One training iteration (os2d/engine/train.py:47-139)."""
+    t_start = time.time()
+    arrays, c_pad = prepare_batch_arrays(batch)
+    params, opt_state, metrics = train_step(params, opt_state, arrays, c_pad)
+    meters = {
+        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
+    }
+    if not math.isfinite(meters.get("grad_norm", 0.0)):
+        logger.error(
+            "gradient is not finite; the update was skipped (reference dumps a "
+            "reproducer here, train.py:116-131)"
+        )
+    meters["batch_time"] = time.time() - t_start
+    return params, opt_state, meters
+
+
+def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
+                   print_per_class_results=False):
+    from .evaluate import evaluate
+
+    meters_all = {}
+    for dataloader in dataloaders_eval:
+        if dataloader is not None:
+            meters_all[dataloader.get_name()] = evaluate(
+                dataloader, model, params, cfg,
+                print_per_class_results=print_per_class_results,
+            )
+    return meters_all
+
+
+def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
+                  optimizer, opt_state, dataloaders_eval=()):
+    """Main train+val loop (os2d/engine/train.py:400-567)."""
+    logger = logging.getLogger("OS2D.train")
+    t_start = time.time()
+    full_log = init_log()
+    num_steps_for_logging, meters_running = 0, {}
+    train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)
+
+    best_model_metric = None
+    best_model_dataset_name = None
+    checkpoint_best_model_name = None
+    checkpoint_best_model_path = None
+
+    if cfg.train.optim.max_iter > 0 and cfg.train.do_training:
+        logger.info("Start training")
+        anneal_lr_func = setup_lr(full_log, cfg.train.optim.anneal_lr, cfg.eval.iter)
+
+        meters_eval = evaluate_model(dataloaders_eval, model, params, cfg)
+
+        if cfg.output.best_model.do_get_best_model:
+            best_model_dataset_name = (
+                cfg.output.best_model.dataset
+                if cfg.output.best_model.dataset
+                else cfg.eval.dataset_names[0]
+            )
+            best_model_metric = meters_eval[best_model_dataset_name][
+                cfg.output.best_model.metric
+            ]
+            logger.info(
+                f"Init model is the current best on {best_model_dataset_name} "
+                f"by {cfg.output.best_model.metric}, value {best_model_metric:.4f}"
+            )
+            if cfg.output.path:
+                checkpoint_best_model_name = (
+                    f"best_model_{best_model_dataset_name}_"
+                    f"{cfg.output.best_model.metric}"
+                )
+                checkpoint_best_model_path = checkpoint_model(
+                    params, opt_state, cfg.output.path,
+                    model_name=checkpoint_best_model_name,
+                    extra_fields={"criterion_value": best_model_metric},
+                )
+            else:
+                raise RuntimeError(
+                    "cfg.output.best_model.do_get_best_model requires cfg.output.path"
+                )
+
+        log_meters(full_log, t_start, -1, cfg.output.path, meters_eval=meters_eval)
+        if cfg.output.path:
+            checkpoint_model(params, opt_state, cfg.output.path, i_iter=0)
+
+        i_epoch = 0
+        i_batch = len(dataloader_train)
+        for i_iter in range(cfg.train.optim.max_iter):
+            if i_batch >= len(dataloader_train):
+                i_epoch += 1
+                i_batch = 0
+                dataloader_train.shuffle()
+
+            if (cfg.train.mining.do_mining
+                    and i_iter % cfg.train.mining.mine_hard_patches_iter == 0):
+                from .mining import mine_hard_patches
+
+                hardnegdata = mine_hard_patches(
+                    dataloader_train, model, params, cfg, objective_cfg
+                )
+                dataloader_train.set_hard_negative_data(hardnegdata)
+
+            logger.info(
+                f"Iter {i_iter} ({cfg.train.optim.max_iter}), epoch {i_epoch}, "
+                f"time {time_since(t_start)}"
+            )
+
+            t_load = time.time()
+            batch = dataloader_train.get_batch(i_batch)
+            loading_time = time.time() - t_load
+            i_batch += 1
+            num_steps_for_logging += 1
+
+            params, opt_state, meters = train_one_batch(
+                batch, params, opt_state, train_step, logger
+            )
+            meters["loading_time"] = loading_time
+            if i_iter % cfg.output.print_iter == 0:
+                print_meters(meters, logger)
+            add_to_meters_in_dict(meters, meters_running)
+
+            if (i_iter + 1) % cfg.eval.iter == 0:
+                meters_eval = evaluate_model(dataloaders_eval, model, params, cfg)
+
+                if cfg.output.best_model.do_get_best_model:
+                    cur_metric = meters_eval[best_model_dataset_name][
+                        cfg.output.best_model.metric
+                    ]
+                    better = (
+                        cur_metric > best_model_metric
+                        if cfg.output.best_model.mode == "max"
+                        else cur_metric < best_model_metric
+                    )
+                    if better:
+                        logger.info(
+                            f"New best model on {best_model_dataset_name}: "
+                            f"{cur_metric:.4f}"
+                        )
+                        if cfg.output.path:
+                            checkpoint_best_model_path = checkpoint_model(
+                                params, opt_state, cfg.output.path,
+                                model_name=checkpoint_best_model_name,
+                                extra_fields={"criterion_value": cur_metric},
+                            )
+                        best_model_metric = cur_metric
+
+                for k in meters_running:
+                    meters_running[k] /= num_steps_for_logging
+                old_lr = get_learning_rate(opt_state)
+                meters_running["lr"] = old_lr
+
+                log_meters(full_log, t_start, i_iter, cfg.output.path,
+                           meters_running=meters_running, meters_eval=meters_eval)
+
+                new_lr = anneal_lr_func(
+                    i_iter + 1,
+                    old_lr,
+                    anneal_now=i_iter > cfg.train.optim.anneal_lr.initial_patience,
+                )
+                if new_lr != old_lr:
+                    if (cfg.train.optim.anneal_lr.reload_best_model_after_anneal_lr
+                            and checkpoint_best_model_path):
+                        from ..utils.logger import load_checkpoint
+
+                        ckpt = load_checkpoint(checkpoint_best_model_path)
+                        params = jax.tree_util.tree_map(jnp.asarray, ckpt["net"])
+                        if ckpt.get("optimizer") is not None:
+                            opt_state = jax.tree_util.tree_map(
+                                lambda old, new: jnp.asarray(new)
+                                if hasattr(new, "shape") else new,
+                                opt_state, ckpt["optimizer"],
+                            )
+                    set_learning_rate(opt_state, new_lr)
+
+                num_steps_for_logging, meters_running = 0, {}
+
+            if (cfg.output.path and cfg.output.save_iter
+                    and i_iter % cfg.output.save_iter == 0):
+                checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter)
+
+    logger.info("Final evaluation")
+    meters_eval = evaluate_model(
+        dataloaders_eval, model, params, cfg, print_per_class_results=True
+    )
+    if cfg.train.optim.max_iter > 0 and cfg.train.do_training:
+        log_meters(full_log, t_start, cfg.train.optim.max_iter, cfg.output.path,
+                   meters_eval=meters_eval)
+        if cfg.output.path:
+            checkpoint_model(
+                params, opt_state, cfg.output.path, i_iter=cfg.train.optim.max_iter
+            )
+    return params, opt_state, full_log, meters_eval
