@@ -1,0 +1,66 @@
+"""FastAPI one-shot detection service (reference app.py:1-103, TPU rebuild).
+
+POST /detect-all-instances
+  {"image": {"content": <b64>}, "query": [{"content": <b64>}, ...]}
+  -> {"scores": [...], "bboxes": [[lx, ty, rx, by], ...]} (relative coords)
+
+Unlike the reference, the model is built ONCE at startup (the reference
+rebuilds per request, app.py:50-67). Environment variables:
+  OS2D_CHECKPOINT - path to a checkpoint (.pkl from this framework or a
+                    reference .pth); random init if unset.
+  OS2D_PYRAMID    - comma-separated pyramid scales (default "1.0").
+"""
+
+import os
+
+import jax
+
+from os2d_tpu.api.service import DetectionService
+from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+
+try:
+    from fastapi import FastAPI, Request
+except ImportError as e:  # pragma: no cover
+    raise ImportError(
+        "fastapi is required for the serving app: pip install fastapi uvicorn"
+    ) from e
+
+
+def build_service() -> DetectionService:
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    ckpt_path = os.environ.get("OS2D_CHECKPOINT", "")
+    if ckpt_path:
+        if ckpt_path.endswith(".pkl"):
+            import jax.numpy as jnp
+
+            from os2d_tpu.utils.logger import load_checkpoint
+
+            params = jax.tree_util.tree_map(
+                jnp.asarray, load_checkpoint(ckpt_path)["net"]
+            )
+        else:
+            from os2d_tpu.models.os2d import load_checkpoint_file
+
+            params, _ = load_checkpoint_file(ckpt_path, model_cfg)
+    else:
+        params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    scales = tuple(
+        float(s) for s in os.environ.get("OS2D_PYRAMID", "1.0").split(",")
+    )
+    return DetectionService(model, params, pyramid_scales=scales)
+
+
+app = FastAPI(title="os2d-tpu one-shot detection")
+service = build_service()
+
+
+@app.post("/detect-all-instances")
+async def detect_all_instances(request: Request):
+    payload = await request.json()
+    return service.detect_from_request(payload)
+
+
+@app.get("/health")
+async def health():
+    return {"status": "ok"}

@@ -82,19 +82,20 @@ class Evaluator:
 
     # ---- per-batch scoring ----
     def score_pyramid(self, params, pyramid_images: List[np.ndarray],
-                      class_head: ClassHead):
+                      class_head: ClassHead, want_corners: bool = False):
         """Run backbone + head over all pyramid levels and all classes.
 
         Args:
           pyramid_images: per level [B, h_l, w_l, 3] arrays.
-        Returns per level dicts with loc [B, Cv, 4, A_l], cls [B, Cv, A_l].
+        Returns per level dicts with loc [B, Cv, 4, A_l], cls [B, Cv, A_l]
+        (+ corners [B, Cv, 8, A_l] if want_corners).
         """
         chunk = int(self.cfg.tpu.eval_class_chunk)
         c_total = class_head.class_feats.shape[0]
         outputs = []
         for level_images in pyramid_images:
             fm = self.model.extract_features(params, jnp.asarray(level_images))
-            locs, clss = [], []
+            locs, clss, corners = [], [], []
             for start in range(0, c_total, chunk):
                 end = min(start + chunk, c_total)
                 # pad the last chunk to the full chunk size to avoid recompiles
@@ -113,12 +114,15 @@ class Evaluator:
                 )
                 locs.append(out["loc"][:, : end - start])
                 clss.append(out["cls"][:, : end - start])
-            outputs.append(
-                {
-                    "loc": jnp.concatenate(locs, axis=1),
-                    "cls": jnp.concatenate(clss, axis=1),
-                }
-            )
+                if want_corners:
+                    corners.append(out["corners"][:, : end - start])
+            level = {
+                "loc": jnp.concatenate(locs, axis=1),
+                "cls": jnp.concatenate(clss, axis=1),
+            }
+            if want_corners:
+                level["corners"] = jnp.concatenate(corners, axis=1)
+            outputs.append(level)
         return outputs
 
     # ---- decoding ----

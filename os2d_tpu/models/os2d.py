@@ -194,7 +194,9 @@ def import_weakalign_checkpoint(state_dict, config: Os2dConfig,
     regressor with linear.weight reshaped to a 5x5 conv."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     if params is None:
-        params = init_os2d_params(key or jax.random.PRNGKey(0), config)
+        params = init_os2d_params(
+            key if key is not None else jax.random.PRNGKey(0), config
+        )
 
     remap = {"conv1.": "FeatureExtraction.model.0.", "bn1.": "FeatureExtraction.model.1."}
     for idx in range(3):

@@ -1,0 +1,55 @@
+"""Detection service (the serving app's core) on planted-patch images."""
+
+import base64
+from io import BytesIO
+
+import numpy as np
+from PIL import Image
+
+import jax
+
+from os2d_tpu.api.service import DetectionService
+from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+
+
+def _to_b64(img: Image.Image) -> str:
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def test_service_detects_planted_query():
+    rng = np.random.RandomState(0)
+    patch = np.kron(
+        rng.randint(0, 255, (30, 30, 3), np.uint8), np.ones((8, 8, 1), np.uint8)
+    )  # 240x240
+    scene = rng.randint(0, 60, (480, 640, 3), np.uint8)
+    x0, y0 = 48, 112
+    scene[y0: y0 + 240, x0: x0 + 240] = patch
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    # small pyramid target so the 640px scene is not upscaled 2.3x (CPU test)
+    import os2d_tpu.api.service as service_mod
+
+    service = DetectionService(model, params, score_threshold=0.3)
+    # patch target size so test runs at native resolution
+    orig = service_mod.TARGET_IMAGE_SIZE
+    service_mod.TARGET_IMAGE_SIZE = 640
+    try:
+        payload = {
+            "image": {"content": _to_b64(Image.fromarray(scene))},
+            "query": [{"content": _to_b64(Image.fromarray(patch))}],
+        }
+        result = service.detect_from_request(payload)
+    finally:
+        service_mod.TARGET_IMAGE_SIZE = orig
+
+    assert result["scores"], "no detections returned"
+    assert result["scores"] == sorted(result["scores"], reverse=True)
+    # top detection must sit on the planted patch (relative coords)
+    top = result["bboxes"][0]
+    np.testing.assert_allclose(
+        top, [x0 / 640, y0 / 480, (x0 + 240) / 640, (y0 + 240) / 480], atol=0.08
+    )
