@@ -28,6 +28,12 @@ RESNET_DEPTHS = {
     "resnet101": (3, 4, 23),
 }
 
+# full classifier depths (layer4 included) for ImageNet pretraining
+RESNET_FULL_DEPTHS = {
+    "resnet50": (3, 4, 6, 3),
+    "resnet101": (3, 4, 23, 3),
+}
+
 GROUPNORM_NUMGROUPS = 32
 BN_EPS = 1e-5
 
@@ -36,13 +42,16 @@ def _conv(x, w, stride=1, padding=0, dtype=None):
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)
+    # output follows the compute dtype (the following BN upcasts to fp32);
+    # the MXU accumulates in fp32 internally for bf16 operands either way.
+    # preferred_element_type is deliberately NOT forced to f32: that would
+    # break the conv transpose rule under grad with bf16 operands.
     return lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
 
 
@@ -95,6 +104,108 @@ def resnet_c4_forward(params, images_nhwc, compute_dtype=jnp.float32):
         for i, block in enumerate(params[layer]):
             x = _bottleneck(x, block, stride if i == 0 else 1, compute_dtype)
     return x
+
+
+def resnet_classifier_forward(params, images_nhwc, compute_dtype=jnp.float32,
+                              train_bn: bool = False, bn_momentum: float = 0.1):
+    """Full ResNet classifier forward (for ImageNet pretraining).
+
+    Returns (logits [N, num_classes], new_params): with train_bn=True,
+    BatchNorm uses batch statistics and new_params carries updated running
+    stats (torch momentum convention: run = (1-m)*run + m*batch).
+    """
+    new_params = params
+    stats_updates = {}
+
+    def norm(x, p, path):
+        if not train_bn or "mean" not in p:
+            return _norm(x, p)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        stats_updates[path] = (
+            (1 - bn_momentum) * p["mean"] + bn_momentum * mean,
+            (1 - bn_momentum) * p["var"] + bn_momentum * unbiased,
+        )
+        inv = lax.rsqrt(var + BN_EPS)
+        return (xf - mean) * inv * p["scale"] + p["bias"]
+
+    x = _conv(images_nhwc, params["conv1"], 2, 3, compute_dtype)
+    x = jax.nn.relu(norm(x, params["bn1"], ("bn1",)))
+    x = lax.reduce_window(
+        x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+    strides = (1, 2, 2, 2)
+    for li, (layer, stride) in enumerate(
+        zip(("layer1", "layer2", "layer3", "layer4"), strides)
+    ):
+        if layer not in params:
+            break
+        for i, block in enumerate(params[layer]):
+            s = stride if i == 0 else 1
+            out = _conv(x, block["conv1"], 1, 0, compute_dtype)
+            out = jax.nn.relu(norm(out, block["bn1"], (layer, i, "bn1")))
+            out = _conv(out, block["conv2"], s, 1, compute_dtype)
+            out = jax.nn.relu(norm(out, block["bn2"], (layer, i, "bn2")))
+            out = _conv(out, block["conv3"], 1, 0, compute_dtype)
+            out = norm(out, block["bn3"], (layer, i, "bn3"))
+            if "downsample_conv" in block:
+                identity = norm(
+                    _conv(x, block["downsample_conv"], s, 0, compute_dtype),
+                    block["downsample_bn"],
+                    (layer, i, "downsample_bn"),
+                )
+            else:
+                identity = x
+            x = jax.nn.relu(out + identity)
+    x = jnp.mean(x, axis=(1, 2))  # global average pool
+    logits = x @ params["fc"]["w"] + params["fc"]["b"]
+
+    if train_bn and stats_updates:
+        # tree_map rebuilds fresh containers around the same leaves, so the
+        # in-place path edits below never alias the caller's tree
+        new_params = jax.tree_util.tree_map(lambda a: a, params)
+        for path, (m, v) in stats_updates.items():
+            node = new_params
+            for key in path[:-1]:
+                node = node[key]
+            node[path[-1]] = dict(node[path[-1]], mean=m, var=v)
+    return logits, new_params
+
+
+def init_resnet_classifier_params(key, arch: str = "resnet101",
+                                  num_classes: int = 1000):
+    """Full classifier params: C4 layers + layer4 + fc."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = init_resnet_c4_params(k1, arch, use_group_norm=False)
+    depths = RESNET_FULL_DEPTHS[arch]
+    keys = iter(jax.random.split(k2, depths[3] * 4 + 1))
+    layer4 = []
+    cin = 1024
+    for bi in range(depths[3]):
+        p = {
+            "conv1": _he_conv(next(keys), 1, 1, cin, 512),
+            "bn1": _norm_params(512, False),
+            "conv2": _he_conv(next(keys), 3, 3, 512, 512),
+            "bn2": _norm_params(512, False),
+            "conv3": _he_conv(next(keys), 1, 1, 512, 2048),
+            "bn3": _norm_params(2048, False),
+        }
+        if bi == 0:
+            p["downsample_conv"] = _he_conv(next(keys), 1, 1, cin, 2048)
+            p["downsample_bn"] = _norm_params(2048, False)
+        layer4.append(p)
+        cin = 2048
+    params["layer4"] = layer4
+    bound = 1.0 / math.sqrt(2048)
+    params["fc"] = {
+        "w": jax.random.uniform(k3, (2048, num_classes), jnp.float32, -bound, bound),
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    return params
 
 
 def _norm_params(c, use_group_norm):

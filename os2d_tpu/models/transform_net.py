@@ -35,9 +35,8 @@ def _conv(x, w, b, padding, dtype=None):
         window_strides=(1, 1),
         padding=[(padding, padding), (padding, padding)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return out + b.astype(jnp.float32)
+    return out.astype(jnp.float32) + b.astype(jnp.float32)
 
 
 def _bn(x, p):
