@@ -79,8 +79,10 @@ class TrainStep:
         def loss_fn(params, images, class_images, class_valid, gt_boxes,
                     gt_labels, gt_difficult, gt_valid, default_boxes):
             fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
+            from ..models.os2d import label_backbone_params
+
             class_fm = resnet_c4_forward(
-                params["label_backbone"], class_images, model_cfg.dtype
+                label_backbone_params(params), class_images, model_cfg.dtype
             )
             if not train_features:
                 fm = jax.lax.stop_gradient(fm)
@@ -188,6 +190,8 @@ def build_trainable_mask(params, train_cfg):
     n_frozen = int(train_cfg.model.num_frozen_extractor_blocks)
     if n_frozen > 0:
         for branch in ("backbone", "label_backbone"):
+            if branch not in params:
+                continue
             remaining = n_frozen
             # block 1: conv1 + bn1
             if remaining > 0:
@@ -205,7 +209,8 @@ def build_trainable_mask(params, train_cfg):
                         remaining -= 1
     if not train_cfg.model.train_features:
         for branch in ("backbone", "label_backbone"):
-            mask[branch] = jax.tree_util.tree_map(lambda _: False, params[branch])
+            if branch in params:
+                mask[branch] = jax.tree_util.tree_map(lambda _: False, params[branch])
     return mask
 
 

@@ -5,9 +5,13 @@ function over a params pytree:
 
   params = {
     "backbone":      ResNet-C4 params (input-image branch),
-    "label_backbone": ResNet-C4 params for class images — the SAME object as
-                      "backbone" when merge_branch_parameters (reference
-                      default, model.py:144-146),
+    "label_backbone": ResNet-C4 params for class images — PRESENT ONLY when
+                      merge_branch_parameters=False. In the merged default
+                      (reference model.py:144-146) the key is ABSENT and both
+                      branches read "backbone": duplicating a shared subtree
+                      under two pytree keys would make gradients SPLIT between
+                      the copies instead of accumulating, silently un-sharing
+                      the branches after one optimizer step.
     "transform_net":  TransformationNet params,
   }
 
@@ -64,19 +68,20 @@ class Os2dConfig:
 def init_os2d_params(key, config: Os2dConfig):
     k1, k2, k3 = jax.random.split(key, 3)
     backbone = init_resnet_c4_params(k1, config.backbone_arch, config.use_group_norm)
-    label_backbone = (
-        backbone
-        if config.merge_branch_parameters
-        else init_resnet_c4_params(k2, config.backbone_arch, config.use_group_norm)
-    )
     transform_net = init_transform_net_params(
         k3, 4 if config.use_simplified_affine_model else 6
     )
-    return {
-        "backbone": backbone,
-        "label_backbone": label_backbone,
-        "transform_net": transform_net,
-    }
+    params = {"backbone": backbone, "transform_net": transform_net}
+    if not config.merge_branch_parameters:
+        params["label_backbone"] = init_resnet_c4_params(
+            k2, config.backbone_arch, config.use_group_norm
+        )
+    return params
+
+
+def label_backbone_params(params):
+    """The class-image branch's backbone: separate if present, else shared."""
+    return params.get("label_backbone", params["backbone"])
 
 
 def normalize_images(images_nhwc, config: Os2dConfig):
@@ -105,7 +110,7 @@ class Os2dModel:
 
     def _extract_label(self, params, images_nhwc):
         return resnet_c4_forward(
-            params["label_backbone"], images_nhwc, self.config.dtype
+            label_backbone_params(params), images_nhwc, self.config.dtype
         )
 
     def _head(self, params, feature_maps, class_head: ClassHead, train_mode: bool):
@@ -170,21 +175,16 @@ def import_os2d_torch_checkpoint(state_dict, config: Os2dConfig):
     backbone = import_torch_resnet_state_dict(
         sd, config.backbone_arch, config.use_group_norm, prefix="net_feature_maps."
     )
-    label_prefix = "net_label_features.net_class_features."
-    if config.merge_branch_parameters:
-        label_backbone = backbone
-    else:
-        label_backbone = import_torch_resnet_state_dict(
-            sd, config.backbone_arch, config.use_group_norm, prefix=label_prefix
-        )
     transform_net = import_torch_transform_net_state_dict(
         sd, prefix="os2d_head_creator.aligner.parameter_regressor."
     )
-    return {
-        "backbone": backbone,
-        "label_backbone": label_backbone,
-        "transform_net": transform_net,
-    }
+    params = {"backbone": backbone, "transform_net": transform_net}
+    if not config.merge_branch_parameters:
+        params["label_backbone"] = import_torch_resnet_state_dict(
+            sd, config.backbone_arch, config.use_group_norm,
+            prefix="net_label_features.net_class_features.",
+        )
+    return params
 
 
 def import_weakalign_checkpoint(state_dict, config: Os2dConfig,
@@ -215,7 +215,9 @@ def import_weakalign_checkpoint(state_dict, config: Os2dConfig,
         backbone = import_torch_resnet_state_dict(
             resnet_sd, config.backbone_arch, config.use_group_norm
         )
-        params = dict(params, backbone=backbone, label_backbone=backbone)
+        params = dict(params, backbone=backbone)
+        if not config.merge_branch_parameters:
+            params["label_backbone"] = backbone
     except KeyError:
         pass  # partial init: keep existing backbone where weakalign lacks layers
 

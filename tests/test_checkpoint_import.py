@@ -50,7 +50,7 @@ def test_import_os2d_checkpoint_reproduces_torch_forward():
     backbone, tn, sd = build_reference_like_state_dict(rng)
 
     params = import_os2d_torch_checkpoint(sd, Os2dConfig())
-    assert params["label_backbone"] is params["backbone"]  # merged branches
+    assert "label_backbone" not in params  # merged branches share one subtree
 
     x = rng.randn(1, 3, 64, 64).astype(np.float32)
     with torch.no_grad():
