@@ -170,9 +170,76 @@ class Evaluator:
         return self._decode_cache[key](loc_pyramid, cls_pyramid)
 
 
+def compute_eval_losses_for_image(level_outputs, image_index, dataloader,
+                                  image_id, img_sizes, inverse_scales,
+                                  objective_cfg, cfg):
+    """Loss metrics on eval data (os2d/engine/evaluate.py:99-135): encode GT
+    per pyramid level against inverse-transformed default boxes (original
+    coordinates), remap, and run the objective."""
+    from .decode import default_boxes_for_image_size
+    from .objective import compute_objective
+    from .targets import encode_targets_single_image, remap_targets
+
+    ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+    class_ids = sorted(list(dataloader.dataset.get_class_ids()))
+    local = dataloader.convert_label_ids_global_to_local(
+        ann.get_field("labels"), class_ids
+    )
+    g = max(8, len(ann))
+    gt_boxes = np.zeros((g, 4), np.float32)
+    gt_labels = np.full((g,), -1, np.int32)
+    gt_difficult = np.zeros((g,), bool)
+    gt_valid = np.zeros((g,), bool)
+    if len(ann):
+        gt_boxes[: len(ann)] = ann.bbox_xyxy
+        gt_labels[: len(ann)] = local
+        gt_difficult[: len(ann)] = ann.get_field("difficult")
+        gt_valid[: len(ann)] = True
+
+    num_labels = level_outputs[0]["cls"].shape[1]
+    loc_p, cls_p, loc_t, cls_t, cls_r = [], [], [], [], []
+    for i_p, out in enumerate(level_outputs):
+        sx, sy = inverse_scales[i_p]
+        d_boxes = np.asarray(default_boxes_for_image_size(img_sizes[i_p])) * (
+            np.asarray([sx, sy, sx, sy], np.float32)
+        )
+        lt, ct = encode_targets_single_image(
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels),
+            jnp.asarray(gt_difficult), jnp.asarray(gt_valid),
+            jnp.asarray(d_boxes), num_labels,
+            cfg.train.objective.positive_iou_threshold,
+            cfg.train.objective.negative_iou_threshold,
+        )
+        ls = out["loc"][image_index][None]
+        cr, _, _ = remap_targets(
+            ls, jnp.asarray(gt_boxes)[None], jnp.asarray(gt_labels)[None],
+            jnp.asarray(gt_difficult)[None], jnp.asarray(gt_valid)[None],
+            jnp.asarray(d_boxes),
+            cfg.train.objective.remap_classification_targets_iou_pos,
+            cfg.train.objective.remap_classification_targets_iou_neg,
+        )
+        loc_p.append(ls)
+        cls_p.append(out["cls"][image_index][None])
+        loc_t.append(lt[None])
+        cls_t.append(ct[None])
+        cls_r.append(cr)
+
+    losses, _ = compute_objective(
+        objective_cfg,
+        jnp.concatenate(loc_p, axis=3), jnp.concatenate(loc_t, axis=3),
+        jnp.concatenate(cls_p, axis=2), jnp.concatenate(cls_t, axis=2),
+        cls_targets_remapped=jnp.concatenate(cls_r, axis=2),
+    )
+    return {k: float(v) for k, v in losses.items() if np.ndim(v) == 0}
+
+
 def evaluate(dataloader, model, params, cfg, criterion=None,
              print_per_class_results=False, logger_prefix="OS2D.eval"):
-    """Full-dataset evaluation -> {mAP@iou: value, ...} (os2d/engine/evaluate.py:21-174)."""
+    """Full-dataset evaluation -> {mAP@iou: value, ...} (os2d/engine/evaluate.py:21-174).
+
+    `criterion` may be an ObjectiveConfig: loss metrics are then computed on
+    the eval data and averaged into the results (reference evaluate.py:99-135).
+    """
     logger = logging.getLogger(f"{logger_prefix}.evaluate")
     dataset_name = dataloader.get_name()
     logger.info(f"Starting evaluation on {dataset_name}")
@@ -186,6 +253,8 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
 
     predictions = []
     gts = []
+    loss_sums = {}
+    num_loss_images = 0
     for batch_ids, pyramids, inverse_scales, _, initial_sizes in (
         dataloader.make_iterator_for_all_images(cfg.eval.batch_size)
     ):
@@ -194,6 +263,14 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             FeatureMapSize(w=p.shape[2], h=p.shape[1]) for p in pyramids
         ]
         for i_image, image_id in enumerate(batch_ids):
+            if criterion is not None and num_views == 1:
+                losses = compute_eval_losses_for_image(
+                    level_outputs, i_image, dataloader, image_id, img_sizes,
+                    [tuple(s) for s in inverse_scales[i_image]], criterion, cfg,
+                )
+                for k, v in losses.items():
+                    loss_sums[k] = loss_sums.get(k, 0.0) + v
+                num_loss_images += 1
             out = evaluator.decode_image(
                 level_outputs, i_image, img_sizes,
                 [tuple(s) for s in inverse_scales[i_image]], num_views,
@@ -254,6 +331,10 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             f"{dataset_name} mAP@{iou_thresh}: {res['map']:0.4f} "
             f"(weighted {res['map_weighted']:0.4f}, recall {res['recall']:0.4f})"
         )
+
+    if num_loss_images:
+        for k, v in loss_sums.items():
+            results[k] = v / num_loss_images
 
     results["eval_time"] = time.time() - t_start
     logger.info(f"Evaluation on {dataset_name} took {results['eval_time']:0.2f}s")

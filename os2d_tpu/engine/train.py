@@ -301,7 +301,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         logger.info("Start training")
         anneal_lr_func = setup_lr(full_log, cfg.train.optim.anneal_lr, cfg.eval.iter)
 
-        meters_eval = evaluate_model(dataloaders_eval, model, params, cfg)
+        meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
+                                     criterion=objective_cfg)
 
         if cfg.output.best_model.do_get_best_model:
             best_model_dataset_name = (
@@ -372,7 +373,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             add_to_meters_in_dict(meters, meters_running)
 
             if (i_iter + 1) % cfg.eval.iter == 0:
-                meters_eval = evaluate_model(dataloaders_eval, model, params, cfg)
+                meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
+                                             criterion=objective_cfg)
 
                 if cfg.output.best_model.do_get_best_model:
                     cur_metric = meters_eval[best_model_dataset_name][

@@ -102,3 +102,23 @@ def test_end_to_end_eval_detects_planted_patches(synthetic_loader):
     assert "mAP@0.50" in results
     # planted identical patches must be found even with random features
     assert results["mAP@0.50"] > 0.9, results
+
+
+def test_eval_with_loss_metrics(synthetic_loader):
+    """criterion=ObjectiveConfig adds averaged loss metrics to eval results."""
+    from os2d_tpu.engine.objective import ObjectiveConfig
+
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+
+    results = evaluate(synthetic_loader, model, params, cfg,
+                       criterion=ObjectiveConfig())
+    assert "loss" in results and np.isfinite(results["loss"])
+    assert "loc_smoothL1" in results
