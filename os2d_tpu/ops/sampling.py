@@ -151,7 +151,7 @@ def resample_correlation_map(corr, grids_unit, pool_mask):
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
         flat = _to_t_major(yi_c * w + xi_c)  # [B, C, T, A]
-        return jnp.take_along_axis(corr_t, flat, axis=3)
+        return jnp.take_along_axis(corr_t, flat, axis=3, mode="promise_in_bounds")
 
     v00 = _gather(y0, x0)
     v01 = _gather(y0, x0 + 1)
@@ -169,3 +169,22 @@ def resample_correlation_map(corr, grids_unit, pool_mask):
     mask_t = pool_mask.transpose(0, 2, 1).reshape(1, c, t, 1).astype(sampled.dtype)
     scores = jnp.sum(sampled * mask_t, axis=2)  # [B, C, A]
     return scores.reshape(b, c, h, w)
+
+
+def resample_correlation_map_masked(corr, grids_unit, pool_mask,
+                                    border: int):
+    """resample_correlation_map restricted to the pool mask's interior.
+
+    The reference pool mask zeroes a border of width 2 around the 15x15
+    template (os2d/modeling/head.py:296-302), so 104 of the 225 template
+    points contribute exactly zero — this variant skips their gathers
+    (1.86x less gather work, bit-identical result). Only valid when the
+    mask is zero on that border (the standard construction).
+    """
+    th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
+    ts = slice(border, th - border)
+    corr_sub = corr.reshape(corr.shape[:-1] + (tw, th))[..., ts, ts]
+    corr_sub = corr_sub.reshape(corr.shape[:-1] + ((tw - 2 * border) * (th - 2 * border),))
+    grids_sub = grids_unit[..., ts, ts, :]
+    mask_sub = pool_mask[..., ts, ts]
+    return resample_correlation_map(corr_sub, grids_sub, mask_sub)
