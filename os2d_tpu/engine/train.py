@@ -252,6 +252,51 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
     return arrays, c_pad
 
 
+class BatchPrefetcher:
+    """Background-thread batch preparation: overlaps the host-side PIL
+    augmentation pipeline (the reference's CPU bottleneck, SURVEY.md §3.1)
+    with the device step. The reference loads synchronously
+    (os2d/engine/train.py:481-483); here get_batch(i) runs one step ahead.
+
+    Kept in Python threads rather than native code deliberately: PIL releases
+    the GIL for decode/resize, so a thread already overlaps fully with the
+    jitted device step; the reference itself has no native loader to match
+    (SURVEY.md top-level fact #1).
+    """
+
+    def __init__(self, dataloader, depth: int = 2):
+        import queue
+        import threading
+
+        self.dataloader = dataloader
+        self._queue = queue.Queue(maxsize=depth)
+        self._request = queue.Queue()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            index = self._request.get()
+            if index is None:
+                return
+            try:
+                self._queue.put((index, self.dataloader.get_batch(index)))
+            except Exception as e:  # surface loader errors to the consumer
+                self._queue.put((index, e))
+
+    def schedule(self, index: int):
+        self._request.put(index)
+
+    def get(self):
+        index, batch = self._queue.get()
+        if isinstance(batch, Exception):
+            raise batch
+        return index, batch
+
+    def close(self):
+        self._request.put(None)
+
+
 def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger):
     """One training iteration (os2d/engine/train.py:47-139)."""
     t_start = time.time()
@@ -336,10 +381,13 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         if cfg.output.path:
             checkpoint_model(params, opt_state, cfg.output.path, i_iter=0)
 
+        prefetcher = BatchPrefetcher(dataloader_train)
+        pending = False  # a batch is scheduled on the prefetcher
         i_epoch = 0
         i_batch = len(dataloader_train)
         for i_iter in range(cfg.train.optim.max_iter):
             if i_batch >= len(dataloader_train):
+                assert not pending  # never shuffle under a scheduled batch
                 i_epoch += 1
                 i_batch = 0
                 dataloader_train.shuffle()
@@ -359,9 +407,20 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             )
 
             t_load = time.time()
-            batch = dataloader_train.get_batch(i_batch)
+            if not pending:
+                prefetcher.schedule(i_batch)
+            _, batch = prefetcher.get()
+            pending = False
             loading_time = time.time() - t_load
             i_batch += 1
+            # schedule the next batch unless a shuffle or mining pass intervenes
+            next_is_mining = (
+                cfg.train.mining.do_mining
+                and (i_iter + 1) % cfg.train.mining.mine_hard_patches_iter == 0
+            )
+            if i_batch < len(dataloader_train) and not next_is_mining:
+                prefetcher.schedule(i_batch)
+                pending = True
             num_steps_for_logging += 1
 
             params, opt_state, meters = train_one_batch(
@@ -431,6 +490,10 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             if (cfg.output.path and cfg.output.save_iter
                     and i_iter % cfg.output.save_iter == 0):
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter)
+
+        if pending:
+            prefetcher.get()
+        prefetcher.close()
 
     logger.info("Final evaluation")
     meters_eval = evaluate_model(
