@@ -66,7 +66,10 @@ def main():
     def run_one_image(image_levels):
         outs = evaluator.score_pyramid(params, image_levels, class_head)
         det = evaluator.decode_image(outs, 0, level_sizes, inverse_scales, 1)
-        return det
+        # force the device->host transfer of the detections: that is the real
+        # pipeline boundary, and block_until_ready is unreliable on the axon
+        # tunnel platform (returns before execution completes)
+        return {k: np.asarray(v) for k, v in det.items()}
 
     def make_pyramid(seed):
         r = np.random.RandomState(seed)
@@ -77,16 +80,17 @@ def main():
     # warmup (compilation)
     t0 = time.time()
     det = run_one_image(make_pyramid(123))
-    jax.block_until_ready(det["scores"])
     warmup_s = time.time() - t0
     print(f"warmup (compile) took {warmup_s:.1f}s", file=sys.stderr)
 
-    # timed
+    # timed (set OS2D_PROFILE_DIR to capture an xprof trace)
+    from os2d_tpu.utils.profiling import maybe_trace_from_env
+
     pyramids = [make_pyramid(i) for i in range(NUM_IMAGES)]
     t0 = time.time()
-    for p in pyramids:
-        det = run_one_image(p)
-    jax.block_until_ready(det["scores"])
+    with maybe_trace_from_env():
+        for p in pyramids:
+            det = run_one_image(p)
     elapsed = time.time() - t0
     images_per_sec = NUM_IMAGES / elapsed
 
