@@ -21,6 +21,7 @@ def _install_torchvision_stub():
         return
 
     tv = types.ModuleType("torchvision")
+    tv.__path__ = []  # mark as package so submodule imports resolve via sys.modules
     ops = types.ModuleType("torchvision.ops")
     ops_boxes = types.ModuleType("torchvision.ops.boxes")
     models = types.ModuleType("torchvision.models")
@@ -165,8 +166,48 @@ def _install_torchvision_stub():
     tv.ops = ops
     tv.models = models
 
+    # ---- torchvision.transforms (ToTensor/Normalize/Compose/ColorJitter) ----
+    transforms_mod = types.ModuleType("torchvision.transforms")
+
+    class Compose:
+        def __init__(self, fns):
+            self.fns = fns
+
+        def __call__(self, x):
+            for f in self.fns:
+                x = f(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, img):
+            import numpy as np
+
+            arr = np.asarray(img, dtype=np.float32) / 255.0
+            return torch.as_tensor(arr).permute(2, 0, 1)
+
+    class Normalize:
+        def __init__(self, mean, std, inplace=False):
+            self.mean = torch.as_tensor(mean).view(-1, 1, 1)
+            self.std = torch.as_tensor(std).view(-1, 1, 1)
+
+        def __call__(self, t):
+            return (t - self.mean) / self.std
+
+    class ColorJitter:
+        def __init__(self, **kwargs):
+            raise NotImplementedError(
+                "ColorJitter stub: color-distortion golden tests are not run"
+            )
+
+    transforms_mod.Compose = Compose
+    transforms_mod.ToTensor = ToTensor
+    transforms_mod.Normalize = Normalize
+    transforms_mod.ColorJitter = ColorJitter
+    tv.transforms = transforms_mod
+
     sys.modules["torchvision"] = tv
     sys.modules["torchvision.ops"] = ops
+    sys.modules["torchvision.transforms"] = transforms_mod
     sys.modules["torchvision.ops.boxes"] = ops_boxes
     sys.modules["torchvision.models"] = models
     sys.modules["torchvision.models.detection"] = detection
