@@ -133,9 +133,25 @@ def main():
         data_path=data_path,
     )
 
+    start_iter = 0
+    full_log = None
+    if cfg.tpu.resume:
+        import jax.numpy as jnp
+
+        from os2d_tpu.utils.logger import load_checkpoint
+
+        ckpt = load_checkpoint(cfg.tpu.resume)
+        params = jax.tree_util.tree_map(jnp.asarray, ckpt["net"])
+        if ckpt.get("optimizer") is not None:
+            opt_state = jax.tree_util.tree_map(jnp.asarray, ckpt["optimizer"])
+        start_iter = int(ckpt.get("i_iter") or 0)
+        full_log = ckpt.get("full_log")
+        logger.info(f"Resuming from {cfg.tpu.resume} at iter {start_iter}")
+
     trainval_loop(
         dataloader_train, model, params, cfg, objective_cfg, optimizer,
-        opt_state, dataloaders_eval=dataloaders_eval,
+        opt_state, dataloaders_eval=dataloaders_eval, start_iter=start_iter,
+        full_log=full_log,
     )
 
 

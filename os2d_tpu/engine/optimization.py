@@ -119,10 +119,11 @@ def _set_hyperparam(opt_state, name, value):
     return opt_state
 
 
-def setup_lr(full_log, cfg, eval_iter):
+def setup_lr(full_log, cfg, eval_iter, initial_steps=0):
     """Host-side LR controller (os2d/engine/optimization.py:53-94).
 
     Returns anneal_lr_func(i_iter, current_lr, anneal_now=True) -> new lr.
+    initial_steps replays a resume position into the MultiStepLR counter.
     """
     logger = logging.getLogger("OS2D.lr")
     kind = cfg.type.lower()
@@ -134,7 +135,7 @@ def setup_lr(full_log, cfg, eval_iter):
 
     if kind == "multisteplr":
         milestones = sorted(ceildiv(m, eval_iter) for m in cfg.milestones)
-        state = {"num_steps": 0}
+        state = {"num_steps": int(initial_steps)}
 
         def anneal(i_iter, lr, anneal_now=True):
             state["num_steps"] += 1

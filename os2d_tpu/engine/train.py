@@ -329,11 +329,17 @@ def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
 
 
 def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
-                  optimizer, opt_state, dataloaders_eval=()):
-    """Main train+val loop (os2d/engine/train.py:400-567)."""
+                  optimizer, opt_state, dataloaders_eval=(), start_iter=0,
+                  full_log=None):
+    """Main train+val loop (os2d/engine/train.py:400-567).
+
+    start_iter/full_log support exact resume from a checkpoint (iteration,
+    lr-in-optimizer-state, metric log) — state the reference loses
+    (SURVEY.md §5.4).
+    """
     logger = logging.getLogger("OS2D.train")
     t_start = time.time()
-    full_log = init_log()
+    full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)
 
@@ -344,7 +350,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
 
     if cfg.train.optim.max_iter > 0 and cfg.train.do_training:
         logger.info("Start training")
-        anneal_lr_func = setup_lr(full_log, cfg.train.optim.anneal_lr, cfg.eval.iter)
+        anneal_lr_func = setup_lr(full_log, cfg.train.optim.anneal_lr, cfg.eval.iter,
+                                  initial_steps=start_iter // max(cfg.eval.iter, 1))
 
         meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
                                      criterion=objective_cfg)
@@ -377,15 +384,17 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                     "cfg.output.best_model.do_get_best_model requires cfg.output.path"
                 )
 
-        log_meters(full_log, t_start, -1, cfg.output.path, meters_eval=meters_eval)
-        if cfg.output.path:
-            checkpoint_model(params, opt_state, cfg.output.path, i_iter=0)
+        if start_iter == 0:
+            log_meters(full_log, t_start, -1, cfg.output.path, meters_eval=meters_eval)
+            if cfg.output.path:
+                checkpoint_model(params, opt_state, cfg.output.path, i_iter=0,
+                                 full_log=full_log)
 
         prefetcher = BatchPrefetcher(dataloader_train)
         pending = False  # a batch is scheduled on the prefetcher
         i_epoch = 0
         i_batch = len(dataloader_train)
-        for i_iter in range(cfg.train.optim.max_iter):
+        for i_iter in range(start_iter, cfg.train.optim.max_iter):
             if i_batch >= len(dataloader_train):
                 assert not pending  # never shuffle under a scheduled batch
                 i_epoch += 1
@@ -479,9 +488,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                         params = jax.tree_util.tree_map(jnp.asarray, ckpt["net"])
                         if ckpt.get("optimizer") is not None:
                             opt_state = jax.tree_util.tree_map(
-                                lambda old, new: jnp.asarray(new)
-                                if hasattr(new, "shape") else new,
-                                opt_state, ckpt["optimizer"],
+                                jnp.asarray, ckpt["optimizer"]
                             )
                     set_learning_rate(opt_state, new_lr)
 
@@ -489,7 +496,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
 
             if (cfg.output.path and cfg.output.save_iter
                     and i_iter % cfg.output.save_iter == 0):
-                checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter)
+                checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter,
+                                 full_log=full_log)
 
         if pending:
             prefetcher.get()
@@ -504,6 +512,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                    meters_eval=meters_eval)
         if cfg.output.path:
             checkpoint_model(
-                params, opt_state, cfg.output.path, i_iter=cfg.train.optim.max_iter
+                params, opt_state, cfg.output.path,
+                i_iter=cfg.train.optim.max_iter, full_log=full_log,
             )
     return params, opt_state, full_log, meters_eval

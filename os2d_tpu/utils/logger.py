@@ -125,8 +125,15 @@ def _to_numpy_tree(tree):
 
 
 def checkpoint_model(params, opt_state, output_path, i_iter=None, model_name=None,
-                     extra_fields=None):
-    """Save {"net": params, "optimizer": opt_state, **extra} (logger.py:137-160)."""
+                     extra_fields=None, full_log=None, backend="pickle"):
+    """Save {"net": params, "optimizer": opt_state, **extra} (logger.py:137-160).
+
+    Unlike the reference (which loses iteration / schedule / log state,
+    SURVEY.md §5.4), the payload carries i_iter and the metric log so training
+    resumes exactly. backend="orbax" stores the pytrees via
+    orbax.checkpoint.PyTreeCheckpointer in a sibling directory instead of
+    inline pickle arrays.
+    """
     os.makedirs(output_path, exist_ok=True)
     if model_name is not None:
         fname = f"checkpoint_{model_name}.pkl"
@@ -134,9 +141,30 @@ def checkpoint_model(params, opt_state, output_path, i_iter=None, model_name=Non
         fname = f"checkpoint_iter_{i_iter}.pkl"
     path = os.path.join(output_path, fname)
     payload = {
-        "net": _to_numpy_tree(params),
-        "optimizer": _to_numpy_tree(opt_state) if opt_state is not None else None,
+        "i_iter": i_iter,
+        "full_log": full_log,
     }
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        tree_dir = os.path.abspath(path[: -len(".pkl")] + ".orbax")
+        if os.path.isdir(tree_dir):
+            import shutil
+
+            shutil.rmtree(tree_dir)
+        checkpointer = ocp.PyTreeCheckpointer()
+        checkpointer.save(
+            tree_dir,
+            {"net": params, "optimizer": opt_state if opt_state is not None else {}},
+        )
+        payload["orbax_dir"] = tree_dir
+        payload["net"] = None
+        payload["optimizer"] = None
+    else:
+        payload["net"] = _to_numpy_tree(params)
+        payload["optimizer"] = (
+            _to_numpy_tree(opt_state) if opt_state is not None else None
+        )
     if extra_fields:
         payload.update(extra_fields)
     try:
@@ -150,7 +178,14 @@ def checkpoint_model(params, opt_state, output_path, i_iter=None, model_name=Non
 
 def load_checkpoint(path):
     with open(path, "rb") as f:
-        return pickle.load(f)
+        payload = pickle.load(f)
+    if payload.get("orbax_dir"):
+        import orbax.checkpoint as ocp
+
+        restored = ocp.PyTreeCheckpointer().restore(payload["orbax_dir"])
+        payload["net"] = restored["net"]
+        payload["optimizer"] = restored.get("optimizer") or None
+    return payload
 
 
 # ---------------------------------------------------------------------------

@@ -100,3 +100,26 @@ def test_launcher_generates_scripts(tmp_path, capsys):
     launcher.launch_all_jobs(args)
     out = capsys.readouterr().out
     assert "xpk workload create" in out and "v5litepod-8" in out
+
+
+def test_checkpoint_resume_payload(tmp_path):
+    params = {"a": np.ones((3,), np.float32)}
+    full_log = {"iter": [0, 1], "loss": [1.0, 0.5]}
+    path = checkpoint_model(params, None, str(tmp_path), i_iter=7,
+                            full_log=full_log)
+    ckpt = load_checkpoint(path)
+    assert ckpt["i_iter"] == 7
+    assert ckpt["full_log"]["loss"] == [1.0, 0.5]
+
+
+def test_checkpoint_orbax_backend(tmp_path):
+    import jax.numpy as jnp
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    path = checkpoint_model(params, {"momentum": np.ones((2, 3), np.float32)},
+                            str(tmp_path), i_iter=3, backend="orbax")
+    ckpt = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(ckpt["net"]["w"]), params["w"])
+    np.testing.assert_array_equal(
+        np.asarray(ckpt["optimizer"]["momentum"]), np.ones((2, 3))
+    )
