@@ -215,11 +215,81 @@ def _install_torchvision_stub():
     sys.modules["torchvision.models.resnet"] = resnet_mod
 
 
+def _install_yacs_stub():
+    """Minimal yacs.config.CfgNode so the reference config tree constructs."""
+    if "yacs" in sys.modules:
+        return
+
+    class CfgNode(dict):
+        def __getattr__(self, name):
+            try:
+                return self[name]
+            except KeyError as e:
+                raise AttributeError(name) from e
+
+        def __setattr__(self, name, value):
+            self[name] = value
+
+        def clone(self):
+            import copy
+
+            return copy.deepcopy(self)
+
+        def freeze(self):
+            return self
+
+        def merge_from_list(self, opts):
+            for k, v in zip(opts[0::2], opts[1::2]):
+                node = self
+                parts = k.split(".")
+                for p in parts[:-1]:
+                    node = node[p]
+                node[parts[-1]] = v
+
+    yacs = types.ModuleType("yacs")
+    yacs_config = types.ModuleType("yacs.config")
+    yacs_config.CfgNode = CfgNode
+    yacs.config = yacs_config
+    sys.modules["yacs"] = yacs
+    sys.modules["yacs.config"] = yacs_config
+
+
+def _patch_reference_for_pandas3():
+    """The reference mutates DataFrame.to_numpy() views in place
+    (os2d/data/dataset.py:687-693); pandas 3 returns read-only views. Wrap the
+    dataframe so to_numpy hands out writable copies — behavior unchanged."""
+    import pandas as pd
+
+    import os2d.data.dataset as ref_dataset_mod
+
+    class _WritableDF(pd.DataFrame):
+        @property
+        def _constructor(self):
+            return _WritableDF
+
+        def to_numpy(self, *args, **kwargs):
+            arr = super().to_numpy(*args, **kwargs)
+            if not arr.flags.writeable:
+                arr = arr.copy()
+            return arr
+
+    original = ref_dataset_mod.DatasetOneShotDetection.get_boxes_from_image_dataframe
+
+    def patched(image_data, image_size):
+        return original(_WritableDF(image_data), image_size)
+
+    ref_dataset_mod.DatasetOneShotDetection.get_boxes_from_image_dataframe = (
+        staticmethod(patched)
+    )
+
+
 def import_reference():
     """Import the reference os2d package (with torchvision stubbed)."""
     _install_torchvision_stub()
+    _install_yacs_stub()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import os2d  # noqa: F401
 
+    _patch_reference_for_pandas3()
     return sys.modules["os2d"]
