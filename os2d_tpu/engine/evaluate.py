@@ -63,13 +63,27 @@ def augment_class_images(class_images: List[np.ndarray], mode: str):
 
 
 class Evaluator:
-    """Caches jitted decode specializations per pyramid-shape signature."""
+    """Caches jitted decode specializations per pyramid-shape signature.
 
-    def __init__(self, model, cfg, logger_prefix="OS2D.eval"):
+    With a `mesh`, the class axis shards over the mesh's "data" axis: each
+    chip correlates the image batch against its slice of the class-feature
+    bank (the TPU replacement for the reference's serial per-class loop,
+    evaluate.py:323-331, scaled across chips instead of across time).
+    """
+
+    def __init__(self, model, cfg, logger_prefix="OS2D.eval", mesh=None):
         self.model = model
         self.cfg = cfg
         self.logger = logging.getLogger(logger_prefix)
+        self.mesh = mesh
         self._decode_cache = {}
+
+    def _shard_class_chunk(self, feats, mask):
+        if self.mesh is None:
+            return feats, mask
+        from ..parallel.mesh import shard_classes
+
+        return shard_classes(self.mesh, feats, mask)
 
     # ---- class features ----
     def build_class_heads(self, params, class_images: List[np.ndarray],
@@ -91,6 +105,11 @@ class Evaluator:
         (+ corners [B, Cv, 8, A_l] if want_corners).
         """
         chunk = int(self.cfg.tpu.eval_class_chunk)
+        if self.mesh is not None:
+            # keep per-chip chunks intact: round the chunk up to the mesh size
+            n_dev = self.mesh.devices.size
+            chunk = max(chunk, n_dev)
+            chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
         c_total = class_head.class_feats.shape[0]
         outputs = []
         for level_images in pyramid_images:
@@ -109,6 +128,7 @@ class Evaluator:
                     mask = jnp.concatenate(
                         [mask, jnp.zeros((pad,) + mask.shape[1:], mask.dtype)]
                     )
+                feats, mask = self._shard_class_chunk(feats, mask)
                 out = self.model.apply_head(
                     params, fm, ClassHead(feats, mask), train_mode=False
                 )
@@ -234,18 +254,20 @@ def compute_eval_losses_for_image(level_outputs, image_index, dataloader,
 
 
 def evaluate(dataloader, model, params, cfg, criterion=None,
-             print_per_class_results=False, logger_prefix="OS2D.eval"):
+             print_per_class_results=False, logger_prefix="OS2D.eval",
+             mesh=None):
     """Full-dataset evaluation -> {mAP@iou: value, ...} (os2d/engine/evaluate.py:21-174).
 
     `criterion` may be an ObjectiveConfig: loss metrics are then computed on
     the eval data and averaged into the results (reference evaluate.py:99-135).
+    With a `mesh`, classes shard across its devices.
     """
     logger = logging.getLogger(f"{logger_prefix}.evaluate")
     dataset_name = dataloader.get_name()
     logger.info(f"Starting evaluation on {dataset_name}")
     t_start = time.time()
 
-    evaluator = Evaluator(model, cfg, logger_prefix)
+    evaluator = Evaluator(model, cfg, logger_prefix, mesh=mesh)
     class_images, _, class_ids = dataloader.get_all_class_images()
     class_head, num_views = evaluator.build_class_heads(
         params, class_images, cfg.eval.class_image_augmentation
