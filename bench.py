@@ -40,9 +40,16 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    import os as _os
+
     cfg = get_default_cfg()
     cfg.tpu.eval_class_chunk = NUM_CLASSES
-    model_cfg = Os2dConfig()
+    # fp32 is both the parity mode AND the fastest here: this workload is
+    # resample/einsum-bound with fp32 'high'-precision MXU passes; bf16 convs
+    # only add conversion traffic (measured 1.9 vs 3.0 img/s)
+    model_cfg = Os2dConfig(
+        compute_dtype=_os.environ.get("OS2D_BENCH_DTYPE", "float32")
+    )
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
 
@@ -62,9 +69,15 @@ def main():
     inverse_scales = [
         (IMG_W / sz.w, IMG_H / sz.h) for sz in level_sizes
     ]
+    img_norm = {"mean": model_cfg.normalization_mean,
+                "std": model_cfg.normalization_std}
 
-    def run_one_image(image_levels):
-        outs = evaluator.score_pyramid(params, image_levels, class_head)
+    from os2d_tpu.engine.pyramid import device_pyramid
+
+    def run_one_image(image_u8):
+        # ship ONE uint8 image; normalize + build all pyramid levels on device
+        levels = device_pyramid(image_u8, level_sizes, img_norm)
+        outs = evaluator.score_pyramid(params, levels, class_head)
         det = evaluator.decode_image(outs, 0, level_sizes, inverse_scales, 1)
         # force the device->host transfer of the detections: that is the real
         # pipeline boundary, and block_until_ready is unreliable on the axon
@@ -73,9 +86,7 @@ def main():
 
     def make_pyramid(seed):
         r = np.random.RandomState(seed)
-        return [
-            r.randn(1, sz.h, sz.w, 3).astype(np.float32) for sz in level_sizes
-        ]
+        return r.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
 
     # warmup (compilation)
     t0 = time.time()

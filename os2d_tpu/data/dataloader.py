@@ -509,6 +509,40 @@ class DataloaderOneShotDetection:
         }
 
     # ---- eval iteration ----
+    def make_raw_iterator_for_all_images(self, batch_size=None):
+        """Device-side-pyramid variant of make_iterator_for_all_images:
+        yields the BASE images as uint8 host arrays plus the per-level target
+        sizes, so one small transfer replaces seven float32 level transfers
+        (see engine/pyramid.py). Augmentation-free eval only."""
+        buckets_ids = self.dataset.split_images_into_buckets_by_size()
+        batch_size = (
+            max(len(ids) for ids in buckets_ids) if batch_size is None else batch_size
+        )
+        for ids_b in buckets_ids:
+            for batch_start in range(0, len(ids_b), batch_size):
+                batch_ids = ids_b[batch_start: batch_start + batch_size]
+                base_images = []
+                initial_sizes = []
+                for image_id in batch_ids:
+                    img = self.dataset._get_dataset_image_by_id(image_id)
+                    base_images.append(np.asarray(img, np.uint8))
+                    initial_sizes.append(
+                        self.dataset.get_image_size_for_image_id(image_id)
+                    )
+                base = initial_sizes[0]
+                level_sizes = [
+                    FeatureMapSize(w=int(base.w * s), h=int(base.h * s))
+                    for s in self.pyramid_scales_eval
+                ]
+                inverse_scales = [
+                    [
+                        (init.w / float(lv.w), init.h / float(lv.h))
+                        for lv in level_sizes
+                    ]
+                    for init in initial_sizes
+                ]
+                yield batch_ids, base_images, level_sizes, inverse_scales, initial_sizes
+
     def make_iterator_for_all_images(self, batch_size=None,
                                      num_random_pyramid_scales=0):
         """Yields (batch_ids, pyramids, inverse_scales, transforms, initial_sizes):

@@ -273,13 +273,36 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         params, class_images, cfg.eval.class_image_augmentation
     )
 
+    use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
+    if use_device_pyramid:
+        from .pyramid import device_pyramid
+
+        img_norm = dataloader.img_normalization
+
+        def batches():
+            for (batch_ids, base_images, level_sizes, inv_scales,
+                 initial_sizes) in dataloader.make_raw_iterator_for_all_images(
+                    cfg.eval.batch_size):
+                per_image = [
+                    device_pyramid(img, level_sizes, img_norm)
+                    for img in base_images
+                ]
+                pyramids = [
+                    jnp.concatenate([p[i_lvl] for p in per_image], axis=0)
+                    for i_lvl in range(len(level_sizes))
+                ]
+                yield batch_ids, pyramids, inv_scales, initial_sizes
+    else:
+        def batches():
+            for (batch_ids, pyramids, inv_scales, _, initial_sizes) in (
+                    dataloader.make_iterator_for_all_images(cfg.eval.batch_size)):
+                yield batch_ids, pyramids, inv_scales, initial_sizes
+
     predictions = []
     gts = []
     loss_sums = {}
     num_loss_images = 0
-    for batch_ids, pyramids, inverse_scales, _, initial_sizes in (
-        dataloader.make_iterator_for_all_images(cfg.eval.batch_size)
-    ):
+    for batch_ids, pyramids, inverse_scales, initial_sizes in batches():
         level_outputs = evaluator.score_pyramid(params, pyramids, class_head)
         img_sizes = [
             FeatureMapSize(w=p.shape[2], h=p.shape[1]) for p in pyramids

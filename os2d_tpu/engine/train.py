@@ -94,6 +94,7 @@ class TrainStep:
                 simple_affine=model_cfg.use_simplified_affine_model,
                 use_inverse_geom_model=model_cfg.use_inverse_geom_model,
                 train_mode=True, compute_dtype=model_cfg.dtype,
+                resample_precision=model_cfg.resample_precision,
             )
 
             # device-side target encoding (the reference encodes on host in the

@@ -114,6 +114,7 @@ def head_forward(
     use_inverse_geom_model: bool = True,
     train_mode: bool = False,
     compute_dtype=jnp.float32,
+    resample_precision: str = "high",
 ):
     """Score every (image, class, anchor) triple.
 
@@ -168,12 +169,13 @@ def head_forward(
     # the pool mask zeroes the 2-wide template border, so the resample skips
     # those points entirely (bit-identical, 1.86x less gather work)
     cls = resample_correlation_map_masked(
-        corr, grids_unit, class_head.pool_mask, POOL_BORDER_WIDTH
+        corr, grids_unit, class_head.pool_mask, POOL_BORDER_WIDTH,
+        precision=resample_precision,
     )
     if train_mode:
         cls_detached = resample_correlation_map_masked(
             corr, jax.lax.stop_gradient(grids_unit), class_head.pool_mask,
-            POOL_BORDER_WIDTH,
+            POOL_BORDER_WIDTH, precision=resample_precision,
         )
     else:
         cls_detached = cls

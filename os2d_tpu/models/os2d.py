@@ -59,6 +59,7 @@ class Os2dConfig:
     normalization_mean: tuple = IMG_NORMALIZATION_MEAN
     normalization_std: tuple = IMG_NORMALIZATION_STD
     compute_dtype: str = "float32"
+    resample_precision: str = "high"  # 'highest' = fp32-exact, slower
 
     @property
     def dtype(self):
@@ -122,6 +123,7 @@ class Os2dModel:
             use_inverse_geom_model=self.config.use_inverse_geom_model,
             train_mode=train_mode,
             compute_dtype=self.config.dtype,
+            resample_precision=self.config.resample_precision,
         )
 
     # ---- public API ----

@@ -122,6 +122,56 @@ def v_packed(corr_t, px, py, mask_t, h, w):
     return jnp.sum(s * mask_t[None, :, :, None], axis=2)
 
 
+def v_matmul(corr_t, px, py, mask_t, h, w, t_chunk=16):
+    """Gather-free: bilinear sampling as two dense MXU contractions.
+
+    Wy[t,a,h'] = hat(py - h'), Wx[t,a,w'] = hat(px - w') have exactly the
+    bilinear corner weights in their (<=2)-wide support, so
+    out[t,a] = Wy[t,a,:] @ corr[t,:,:] @ Wx[t,a,:] is the exact border-clamped
+    bilinear sample. FLOP-heavy (A*H*W per (t, sample)) but it runs on the
+    MXU instead of the scalar gather path. T is scanned in chunks to bound
+    the Wy/R buffers.
+    """
+    b, c, t, a = corr_t.shape
+    corr_p = corr_t.reshape(b, c, t, h, w)
+    iota_h = jnp.arange(h, dtype=px.dtype)
+    iota_w = jnp.arange(w, dtype=px.dtype)
+    n_chunks = (t + t_chunk - 1) // t_chunk
+    t_pad = n_chunks * t_chunk
+    if t_pad != t:
+        pad = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+        corr_p = jnp.pad(corr_p.reshape(b, c, t, a), pad).reshape(b, c, t_pad, h, w)
+        px = jnp.pad(px, pad)
+        py = jnp.pad(py, pad)
+        mask_t = jnp.pad(mask_t, ((0, 0), (0, t_pad - t)))
+
+    corr_p = corr_p.reshape(b, c, n_chunks, t_chunk, h, w)
+    px = px.reshape(b, c, n_chunks, t_chunk, a)
+    py = py.reshape(b, c, n_chunks, t_chunk, a)
+    mask_c = mask_t.reshape(c, n_chunks, t_chunk)
+
+    def body(carry, inputs):
+        corr_i, px_i, py_i, mask_i = inputs  # [B,C,tc,...]
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py_i[..., None] - iota_h))
+        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px_i[..., None] - iota_w))
+        prec = os.environ.get("MATMUL_PRECISION", "default")
+        r = jnp.einsum("bctah,bcthw->bctaw", wy, corr_i,
+                       preferred_element_type=jnp.float32, precision=prec)
+        out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
+                         preferred_element_type=jnp.float32, precision=prec)
+        return carry + jnp.sum(out * mask_i[None, :, :, None], axis=2), None
+
+    init = jnp.zeros((b, c, a), jnp.float32)
+    inputs = (
+        corr_p.transpose(2, 0, 1, 3, 4, 5),
+        px.transpose(2, 0, 1, 3, 4),
+        py.transpose(2, 0, 1, 3, 4),
+        mask_c.transpose(1, 0, 2),
+    )
+    out, _ = jax.lax.scan(body, init, inputs)
+    return out
+
+
 def main():
     c = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     corr, grids, mask, dims = make_inputs(c=c)
@@ -133,6 +183,7 @@ def main():
         "baseline_4d": v_baseline,
         "reshaped_2d": v_2d,
         "packed_1gather": v_packed,
+        "matmul_hat": v_matmul,
     }
     ref = None
     for name, fn in variants.items():
@@ -149,7 +200,11 @@ def main():
         except Exception as e:
             print(f"{name}: FAILED {str(e)[:200]}")
 
-    # pallas variant
+    # pallas variant (WARNING: tpu.dynamic_gather wedges this environment's
+    # remote-compile toolchain; only run when explicitly requested)
+    if not os.environ.get("RUN_PALLAS_VARIANT"):
+        print("pallas: skipped (set RUN_PALLAS_VARIANT=1 to try)")
+        return
     try:
         from os2d_tpu.ops.pallas_resample import resample_correlation_map_pallas
 
