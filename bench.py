@@ -72,13 +72,11 @@ def main():
     img_norm = {"mean": model_cfg.normalization_mean,
                 "std": model_cfg.normalization_std}
 
-    from os2d_tpu.engine.pyramid import device_pyramid
-
     def run_one_image(image_u8):
-        # ship ONE uint8 image; normalize + build all pyramid levels on device
-        levels = device_pyramid(image_u8, level_sizes, img_norm)
-        outs = evaluator.score_pyramid(params, levels, class_head)
-        det = evaluator.decode_image(outs, 0, level_sizes, inverse_scales, 1)
+        # ONE dispatch: uint8 image -> fused pyramid/backbone/head/decode
+        det = evaluator.detect_single_image(
+            params, image_u8, class_head, level_sizes, inverse_scales, img_norm
+        )
         # force the device->host transfer of the detections: that is the real
         # pipeline boundary, and block_until_ready is unreliable on the axon
         # tunnel platform (returns before execution completes)

@@ -132,6 +132,7 @@ class DataloaderOneShotDetection:
                  pyramid_scales_eval=(1,), do_augmentation=False,
                  mine_extra_class_images=False,
                  class_shape_palette="default",  # "default" | None (exact) | list
+                 images_uint8=False,  # train batches ship uint8, normalize on device
                  logger_prefix="OS2D"):
         self.logger = logging.getLogger(f"{logger_prefix}.dataloader")
         self.dataset = dataset
@@ -139,6 +140,7 @@ class DataloaderOneShotDetection:
         self.gt_image_size = gt_image_size
         self.hardnegdata_per_imageid = None
         self.mine_extra_class_images = mine_extra_class_images
+        self.images_uint8 = images_uint8
         self.pyramid_scales_eval = list(pyramid_scales_eval)
         self.num_pyramid_levels = len(self.pyramid_scales_eval)
 
@@ -469,6 +471,14 @@ class DataloaderOneShotDetection:
             labels[mask_cutoff] = -2
             boxes.add_field("labels", labels)
 
+            if self.images_uint8:
+                # de-normalize back to uint8? no - recompute from the pipeline:
+                # _transform_image returned a normalized float; invert exactly
+                mean = np.asarray(self.img_normalization["mean"], np.float32)
+                std = np.asarray(self.img_normalization["std"], np.float32)
+                img = np.clip(
+                    np.rint((img * std + mean) * 255.0), 0, 255
+                ).astype(np.uint8)
             cur_size = FeatureMapSize(w=img.shape[1], h=img.shape[0])
             if img_size is None:
                 img_size = cur_size
@@ -664,6 +674,7 @@ def build_train_dataloader_from_config(cfg, img_normalization=None,
         dataset=dataset_train, batch_size=cfg.train.batch_size,
         class_batch_size=cfg.train.class_batch_size,
         class_shape_palette=[(square.w, square.h)],
+        images_uint8=True,
         img_normalization=img_normalization,
         random_flip_batches=cfg.train.augment.random_flip_batches,
         random_crop_size=random_crop_size, random_crop_scale=evaluation_scale,

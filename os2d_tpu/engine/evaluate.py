@@ -145,6 +145,103 @@ class Evaluator:
             outputs.append(level)
         return outputs
 
+    # ---- fused single-dispatch detection ----
+    def detect_single_image(self, params, image_u8, class_head: ClassHead,
+                            level_sizes, inverse_scales, img_normalization,
+                            num_views: int = 1):
+        """ONE jitted program per signature: uint8 image in -> top-K detections
+        out. Builds the normalized pyramid, runs the backbone + head over all
+        levels and class chunks, and decodes + NMS-es on device — a single
+        host->device dispatch per image (the per-level/per-chunk dispatch
+        chain costs real latency over a remote-device tunnel)."""
+        import numpy as np_
+
+        key = (
+            "detect",
+            image_u8.shape,
+            tuple(level_sizes),
+            tuple(tuple(s) for s in inverse_scales),
+            class_head.class_feats.shape,
+            num_views,
+        )
+        if key not in self._decode_cache:
+            from ..models.resnet import resnet_c4_forward
+            from ..models.head import head_forward
+
+            model = self.model
+            cfg = self.cfg
+            chunk = int(cfg.tpu.eval_class_chunk)
+            c_total = class_head.class_feats.shape[0]
+            n_chunks = (c_total + chunk - 1) // chunk
+            c_pad = n_chunks * chunk
+            mean = jnp.asarray(img_normalization["mean"], jnp.float32)
+            std = jnp.asarray(img_normalization["std"], jnp.float32)
+            sizes = list(level_sizes)
+            scales = [tuple(s) for s in inverse_scales]
+
+            @jax.jit
+            def detect(params, image_u8, class_feats, pool_mask):
+                img = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+                if c_pad != c_total:
+                    pad = c_pad - c_total
+                    class_feats = jnp.concatenate(
+                        [class_feats,
+                         jnp.zeros((pad,) + class_feats.shape[1:], class_feats.dtype)]
+                    )
+                    pool_mask = jnp.concatenate(
+                        [pool_mask,
+                         jnp.zeros((pad,) + pool_mask.shape[1:], pool_mask.dtype)]
+                    )
+                loc_p, cls_p = [], []
+                for sz in sizes:
+                    if (sz.h, sz.w) == image_u8.shape[:2]:
+                        lvl = img[None]
+                    else:
+                        lvl = jax.image.resize(
+                            img, (sz.h, sz.w, 3), method="bilinear", antialias=True
+                        )[None]
+                    fm = resnet_c4_forward(
+                        params["backbone"], lvl, model.config.dtype
+                    )
+                    locs, clss = [], []
+                    for start in range(0, c_pad, chunk):
+                        out = head_forward(
+                            params["transform_net"], fm,
+                            ClassHead(class_feats[start:start + chunk],
+                                      pool_mask[start:start + chunk]),
+                            simple_affine=model.config.use_simplified_affine_model,
+                            use_inverse_geom_model=model.config.use_inverse_geom_model,
+                            train_mode=False,
+                            compute_dtype=model.config.dtype,
+                            resample_precision=model.config.resample_precision,
+                        )
+                        locs.append(out["loc"][0])
+                        clss.append(out["cls"][0])
+                    loc_p.append(jnp.concatenate(locs, axis=0)[:c_total])
+                    cls_p.append(jnp.concatenate(clss, axis=0)[:c_total])
+
+                if num_views > 1:
+                    loc_p = [l[v::num_views] for l in loc_p for v in range(num_views)]
+                    cls_p = [c_[v::num_views] for c_ in cls_p for v in range(num_views)]
+                    sizes_x = [s for s in sizes for _ in range(num_views)]
+                    scales_x = [s for s in scales for _ in range(num_views)]
+                else:
+                    sizes_x, scales_x = sizes, scales
+                return decode_pyramid(
+                    loc_p, cls_p, sizes_x, scales_x,
+                    nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
+                    score_threshold=float(cfg.eval.nms_score_threshold),
+                    pre_top_k=int(cfg.tpu.eval_pre_top_k),
+                    top_k=int(cfg.tpu.eval_top_k),
+                    nms_across_classes=bool(cfg.eval.nms_across_classes),
+                )
+
+            self._decode_cache[key] = detect
+        return self._decode_cache[key](
+            params, jnp.asarray(image_u8), class_head.class_feats,
+            class_head.pool_mask,
+        )
+
     # ---- decoding ----
     def decode_image(self, level_outputs, image_index: int,
                      img_sizes: List[FeatureMapSize],
@@ -274,6 +371,54 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     )
 
     use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
+    use_fused = (
+        use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
+        and mesh is None
+    )
+    if use_fused:
+        # single-dispatch path: uint8 image in -> detections out, one program
+        predictions = []
+        gts = []
+        img_norm = dataloader.img_normalization
+        for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
+                dataloader.make_raw_iterator_for_all_images(1)):
+            image_id = batch_ids[0]
+            out = evaluator.detect_single_image(
+                params, base_images[0], class_head, level_sizes,
+                inv_scales[0], img_norm, num_views=num_views,
+            )
+            boxes = np.asarray(out["boxes"])
+            scores = np.asarray(out["scores"])
+            valid = np.asarray(out["valid"])
+            det_boxes, det_scores, det_labels = [], [], []
+            for row in range(boxes.shape[0]):
+                m = valid[row]
+                det_boxes.append(boxes[row][m])
+                det_scores.append(scores[row][m])
+                det_labels.append(np.full(int(m.sum()), class_ids[row], np.int64))
+            init_size = initial_sizes[0]
+            predictions.append(
+                {
+                    "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
+                    "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
+                    "labels": np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64),
+                    "image_size": (init_size.w, init_size.h),
+                }
+            )
+            ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+            gts.append(
+                {
+                    "boxes": ann.bbox_xyxy,
+                    "labels": ann.get_field("labels"),
+                    "difficult": ann.get_field("difficult"),
+                    "image_size": (ann.image_size.w, ann.image_size.h),
+                }
+            )
+        return _finish_evaluation(
+            predictions, gts, cfg, class_ids, dataset_name, t_start, {}, 0,
+            print_per_class_results, logger,
+        )
+
     if use_device_pyramid:
         from .pyramid import device_pyramid
 
@@ -359,6 +504,15 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                 }
             )
 
+    return _finish_evaluation(
+        predictions, gts, cfg, class_ids, dataset_name, t_start, loss_sums,
+        num_loss_images, print_per_class_results, logger,
+    )
+
+
+def _finish_evaluation(predictions, gts, cfg, class_ids, dataset_name, t_start,
+                       loss_sums, num_loss_images, print_per_class_results,
+                       logger):
     results = {}
     for iou_thresh in cfg.eval.mAP_iou_thresholds:
         res = do_voc_evaluation(predictions, gts, iou_thresh=iou_thresh)

@@ -78,6 +78,12 @@ class TrainStep:
 
         def loss_fn(params, images, class_images, class_valid, gt_boxes,
                     gt_labels, gt_difficult, gt_valid, default_boxes):
+            if images.dtype == jnp.uint8:
+                # uint8-over-the-wire batches: normalize on device (bit-equal
+                # to the host ToTensor+Normalize path)
+                mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
+                std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+                images = (images.astype(jnp.float32) / 255.0 - mean) / std
             fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
             from ..models.os2d import label_backbone_params
 
