@@ -518,6 +518,13 @@ class DataloaderOneShotDetection:
             "batch_boxes": batch_boxes,
         }
 
+    def unnorm_image(self, img):
+        """Invert the mean/std normalization for visualization
+        (os2d/data/dataloader.py:387-394). img: [H, W, 3] float array."""
+        mean = np.asarray(self.img_normalization["mean"], np.float32)
+        std = np.asarray(self.img_normalization["std"], np.float32)
+        return np.clip(np.asarray(img) * std + mean, 0.0, 1.0)
+
     # ---- eval iteration ----
     def make_raw_iterator_for_all_images(self, batch_size=None):
         """Device-side-pyramid variant of make_iterator_for_all_images:

@@ -238,8 +238,17 @@ def import_weakalign_checkpoint(state_dict, config: Os2dConfig,
     return params
 
 
-def load_checkpoint_file(path: str, config: Os2dConfig):
-    """Load a reference .pth checkpoint from disk (requires torch for unpickling)."""
+def load_checkpoint_file(path: str, config: Os2dConfig, params=None, key=None):
+    """Load a torch-side checkpoint: the cascade of the reference loader
+    (os2d/modeling/model.py:290-386):
+      1. full checkpoint dict with "net" [+ "optimizer"];
+      2. weakalign-format ("state_dict" with FeatureExtraction/FeatureRegression);
+      3. full Os2dModel state_dict (net_feature_maps.* names);
+      4. backbone-only init: plain torchvision ResNet names or any foreign
+         format handled by models/converters (caffe2-cirtorch / cirtorch /
+         maskrcnn-benchmark) — the rest of the model keeps `params` (or a
+         fresh init).
+    """
     import torch
 
     checkpoint = torch.load(path, map_location="cpu", weights_only=False)
@@ -247,7 +256,33 @@ def load_checkpoint_file(path: str, config: Os2dConfig):
         sd = checkpoint["net"]
         optimizer_state = checkpoint.get("optimizer")
         return import_os2d_torch_checkpoint(sd, config), optimizer_state
-    if isinstance(checkpoint, dict) and "state_dict" in checkpoint:
-        return import_weakalign_checkpoint(checkpoint["state_dict"], config), None
-    # assume a raw state_dict
-    return import_os2d_torch_checkpoint(checkpoint, config), None
+    if isinstance(checkpoint, dict) and "state_dict" in checkpoint and any(
+        k.startswith("FeatureExtraction") for k in checkpoint["state_dict"]
+    ):
+        return (
+            import_weakalign_checkpoint(checkpoint["state_dict"], config,
+                                        params=params, key=key),
+            None,
+        )
+    sd = checkpoint
+    for nested in ("state_dict", "model"):
+        if isinstance(sd, dict) and nested in sd and isinstance(sd[nested], dict):
+            sd = sd[nested]
+    if any(k.startswith("net_feature_maps.") for k in sd):
+        return import_os2d_torch_checkpoint(sd, config), None
+
+    # backbone-only init (step 4 of the reference cascade)
+    from .converters import convert_any_backbone
+
+    backbone_sd = convert_any_backbone(sd)
+    backbone = import_torch_resnet_state_dict(
+        backbone_sd, config.backbone_arch, config.use_group_norm
+    )
+    if params is None:
+        params = init_os2d_params(
+            key if key is not None else jax.random.PRNGKey(0), config
+        )
+    params = dict(params, backbone=backbone)
+    if not config.merge_branch_parameters:
+        params["label_backbone"] = backbone
+    return params, None

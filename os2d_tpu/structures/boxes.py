@@ -206,3 +206,22 @@ def strided_anchor_grid(fm_w: int, fm_h: int, box_w: float, box_h: float,
     half_w = box_w / 2.0
     half_h = box_h / 2.0
     return jnp.stack([cx - half_w, cy - half_h, cx + half_w, cy + half_h], axis=1)
+
+
+def filter_detections(boxes, scores, score_threshold=0.0, max_dets=None):
+    """Top-scoring detections above a threshold (host-side numpy).
+
+    Port of filter_bbox (os2d/structures/bounding_box.py:420-436) on plain
+    arrays: returns (scores, boxes) sorted by descending score.
+    """
+    import numpy as np
+
+    boxes = np.asarray(boxes).reshape(-1, 4)
+    scores = np.asarray(scores).reshape(-1)
+    good = np.nonzero(scores > score_threshold)[0]
+    if good.size == 0:
+        return np.zeros((0,), np.float32), np.zeros((0, 4), np.float32)
+    order = good[np.argsort(-scores[good], kind="stable")]
+    if max_dets is not None:
+        order = order[:max_dets]
+    return scores[order], boxes[order]

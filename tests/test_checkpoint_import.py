@@ -144,3 +144,41 @@ def test_foreign_format_converters():
         np.testing.assert_allclose(
             np.transpose(got, (0, 3, 1, 2)), want, rtol=1e-3, atol=1e-3
         )
+
+
+def test_load_checkpoint_file_cascade(tmp_path):
+    """The reference loader cascade: full checkpoint / weakalign / plain
+    backbone state dicts all load through load_checkpoint_file."""
+    import jax
+    from os2d_tpu.models.os2d import load_checkpoint_file
+
+    rng = np.random.RandomState(5)
+    backbone, tn, full_sd = build_reference_like_state_dict(rng)
+
+    # (1) full checkpoint with "net"
+    p1 = str(tmp_path / "full.pth")
+    torch.save({"net": {k: torch.as_tensor(v) for k, v in full_sd.items()},
+                "optimizer": {"dummy": 1}}, p1)
+    params, opt = load_checkpoint_file(p1, Os2dConfig())
+    assert opt == {"dummy": 1}
+    assert "transform_net" in params
+
+    # (3) bare Os2dModel state dict
+    p3 = str(tmp_path / "bare.pth")
+    torch.save({k: torch.as_tensor(v) for k, v in full_sd.items()}, p3)
+    params3, _ = load_checkpoint_file(p3, Os2dConfig())
+    np.testing.assert_array_equal(
+        np.asarray(params3["backbone"]["conv1"]), np.asarray(params["backbone"]["conv1"])
+    )
+
+    # (4) plain torchvision resnet state dict -> backbone-only init
+    p4 = str(tmp_path / "resnet.pth")
+    torch.save(backbone.state_dict(), p4)
+    params4, _ = load_checkpoint_file(p4, Os2dConfig(),
+                                      key=jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(
+        np.asarray(params4["backbone"]["conv1"]), np.asarray(params["backbone"]["conv1"])
+    )
+    # transform net fell back to fresh init (identity bias)
+    lb = np.asarray(params4["transform_net"]["linear"]["b"])
+    np.testing.assert_allclose(lb, [1, 0, 0, 0, 1, 0])
