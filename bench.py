@@ -15,6 +15,7 @@ ours / 2.0, so >= 3.0 meets the "3x V100" north star.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,10 @@ NUM_IMAGES = 8  # timed images (after warmup)
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_os2d"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from os2d_tpu.config import get_default_cfg

@@ -10,6 +10,11 @@ import os
 
 import jax
 
+# persistent compilation cache: saves ~25% of the (mostly remote) compile time
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache_os2d"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 from os2d_tpu.config import get_default_cfg
 from os2d_tpu.data.dataloader import (
     build_eval_dataloaders_from_cfg,

@@ -151,9 +151,10 @@ def _install_torchvision_stub():
     det_utils.Matcher = Matcher
     detection._utils = det_utils
 
-    # ---- torchvision.models.resnet (only needed for imports, not executed) ----
-    class ResNet:  # placeholder base class
-        pass
+    # ---- torchvision.models.resnet ----
+    # ResNet must be nn.Module so ResNetFeatureExtractor (which subclasses it
+    # and adopts a real module's __dict__) keeps Module attribute semantics.
+    ResNet = torch.nn.Module
 
     def _unavailable(*a, **k):
         raise RuntimeError("torchvision resnet factory not available in tests")
