@@ -123,3 +123,56 @@ def test_checkpoint_orbax_backend(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(ckpt["optimizer"]["momentum"]), np.ones((2, 3))
     )
+
+
+def test_setup_lr_multistep():
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.engine.optimization import setup_lr
+
+    cfg = get_default_cfg().train.optim.anneal_lr
+    cfg.type = "MultiStepLR"
+    cfg.milestones = [2000, 4000]
+    cfg.gamma = 0.1
+    anneal = setup_lr({}, cfg, eval_iter=1000)
+    lr = 1.0
+    lrs = []
+    for i in range(5):
+        lr = anneal(i, lr)
+        lrs.append(lr)
+    np.testing.assert_allclose(lrs, [1.0, 0.1, 0.1, 0.01, 0.01], rtol=1e-9)
+
+
+def test_setup_lr_multistep_resume_replays_counter():
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.engine.optimization import setup_lr
+
+    cfg = get_default_cfg().train.optim.anneal_lr
+    cfg.type = "MultiStepLR"
+    cfg.milestones = [2000]
+    anneal = setup_lr({}, cfg, eval_iter=1000, initial_steps=2)
+    # milestone (step 2) already passed before resume -> no further decay
+    assert anneal(0, 1.0) == 1.0
+
+
+def test_setup_lr_plateau_reduces_after_patience():
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.engine.optimization import setup_lr
+
+    cfg = get_default_cfg().train.optim.anneal_lr
+    cfg.type = "ReduceLROnPlateau"
+    cfg.patience = 2000
+    cfg.cooldown = 0
+    cfg.quantity_smoothness = 0
+    cfg.reduce_factor = 0.5
+    cfg.min_value = 1e-5
+    cfg.quantity_to_monitor = "metric"
+    full_log = {"metric": []}
+    anneal = setup_lr(full_log, cfg, eval_iter=1000)
+    lr = 1.0
+    values = [0.5, 0.6, 0.6, 0.6, 0.6, 0.6]  # stalls after the second eval
+    lrs = []
+    for i, v in enumerate(values):
+        full_log["metric"].append(v)
+        lr = anneal(i, lr)
+        lrs.append(lr)
+    assert lrs[-1] < 1.0  # reduced after patience exhausted
