@@ -375,6 +375,38 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
         and mesh is None
     )
+    viz_cfg = cfg.visualization.eval
+    viz_dir = ""
+    if (viz_cfg.show_detections or viz_cfg.show_gt_boxes) and cfg.output.path:
+        import os as _os
+
+        viz_dir = _os.path.join(cfg.output.path, f"viz_{dataset_name}")
+        _os.makedirs(viz_dir, exist_ok=True)
+
+    def _visualize(image_id, det_boxes, det_scores, det_labels):
+        """Config-driven visual debugging (os2d/config.py:230-245)."""
+        if not viz_dir:
+            return
+        from ..utils.visualization import show_detections, show_gt_boxes
+
+        img = np.asarray(
+            dataloader.dataset._get_dataset_image_by_id(image_id), np.float32
+        ) / 255.0
+        if viz_cfg.show_detections:
+            show_detections(
+                img, det_boxes, det_scores, det_labels,
+                max_detections=viz_cfg.max_detections,
+                score_threshold=viz_cfg.score_threshold,
+                save_path=f"{viz_dir}/detections_{image_id}.png",
+            )
+        if viz_cfg.show_gt_boxes:
+            ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+            show_gt_boxes(
+                img, ann.bbox_xyxy, ann.get_field("labels"),
+                ann.get_field("difficult"),
+                save_path=f"{viz_dir}/gt_{image_id}.png",
+            )
+
     if use_fused:
         # single-dispatch path: uint8 image in -> detections out, one program
         predictions = []
@@ -397,14 +429,14 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                 det_scores.append(scores[row][m])
                 det_labels.append(np.full(int(m.sum()), class_ids[row], np.int64))
             init_size = initial_sizes[0]
-            predictions.append(
-                {
-                    "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
-                    "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
-                    "labels": np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64),
-                    "image_size": (init_size.w, init_size.h),
-                }
-            )
+            pred = {
+                "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
+                "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
+                "labels": np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64),
+                "image_size": (init_size.w, init_size.h),
+            }
+            predictions.append(pred)
+            _visualize(image_id, pred["boxes"], pred["scores"], pred["labels"])
             ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
             gts.append(
                 {
@@ -494,6 +526,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     "image_size": (init_size.w, init_size.h),
                 }
             )
+            _visualize(image_id, det_boxes, det_scores, det_labels)
             ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
             gts.append(
                 {

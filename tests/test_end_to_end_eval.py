@@ -122,3 +122,27 @@ def test_eval_with_loss_metrics(synthetic_loader):
                        criterion=ObjectiveConfig())
     assert "loss" in results and np.isfinite(results["loss"])
     assert "loc_smoothL1" in results
+
+
+def test_eval_visualization_hooks(synthetic_loader, tmp_path):
+    """cfg.visualization.eval flags save detection/GT figures per image."""
+    import glob
+
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+    cfg.output.path = str(tmp_path)
+    cfg.visualization.eval.show_detections = True
+    cfg.visualization.eval.show_gt_boxes = True
+    cfg.visualization.eval.max_detections = 5
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    evaluate(synthetic_loader, model, params, cfg)
+
+    figs = glob.glob(str(tmp_path / "viz_*" / "*.png"))
+    assert any("detections_" in f for f in figs)
+    assert any("gt_" in f for f in figs)
