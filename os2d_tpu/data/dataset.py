@@ -21,7 +21,7 @@ import numpy as np
 import pandas as pd
 from PIL import Image
 
-from ..structures.feature_map import FeatureMapSize, exact_resize_area
+from ..structures.feature_map import FeatureMapSize, exact_resize_area  # noqa: F401 (exact_resize_area used in _get_dataset_image_by_id)
 from ..structures.host_boxes import HostBoxes
 
 try:  # Pillow >= 10 removed Image.ANTIALIAS

@@ -154,8 +154,6 @@ class Evaluator:
         levels and class chunks, and decodes + NMS-es on device — a single
         host->device dispatch per image (the per-level/per-chunk dispatch
         chain costs real latency over a remote-device tunnel)."""
-        import numpy as np_
-
         key = (
             "detect",
             image_u8.shape,

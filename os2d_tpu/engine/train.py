@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.head import ANCHOR_BOX, ANCHOR_STRIDE, build_class_head, head_forward
+from ..models.os2d import label_backbone_params
 from ..models.resnet import resnet_c4_forward
 from ..structures.boxes import strided_anchor_grid
 from ..structures.feature_map import FeatureMapSize, feature_map_size_for_image
@@ -85,8 +86,6 @@ class TrainStep:
                 std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
                 images = (images.astype(jnp.float32) / 255.0 - mean) / std
             fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
-            from ..models.os2d import label_backbone_params
-
             class_fm = resnet_c4_forward(
                 label_backbone_params(params), class_images, model_cfg.dtype
             )

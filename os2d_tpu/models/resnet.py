@@ -16,7 +16,6 @@ supported as the reference's alternative (feature_extractor.py:96-105).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

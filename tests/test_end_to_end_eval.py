@@ -146,3 +146,19 @@ def test_eval_visualization_hooks(synthetic_loader, tmp_path):
     figs = glob.glob(str(tmp_path / "viz_*" / "*.png"))
     assert any("detections_" in f for f in figs)
     assert any("gt_" in f for f in figs)
+
+
+def test_eval_classic_path_batch2(synthetic_loader):
+    """batch_size=2 routes through the classic (non-fused) path and matches."""
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.eval.batch_size = 2
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    results = evaluate(synthetic_loader, model, params, cfg)
+    assert results["mAP@0.50"] > 0.9, results

@@ -89,3 +89,28 @@ def test_mining_cycle(tmp_path):
     # mined labels must be present in the batch class set
     mined_labels = {r["label_global"] for recs in mined.values() for r in recs}
     assert mined_labels & set(batch["class_ids"])
+
+
+def test_mine_extra_class_images(tmp_path):
+    """mine_extra_class_images crops every non-difficult GT box as an extra
+    class view used at training time (os2d/data/dataloader.py:210-229)."""
+    import numpy as np
+    from test_train import make_dataset
+
+    from os2d_tpu.data.dataloader import DataloaderOneShotDetection
+    from os2d_tpu.structures.feature_map import FeatureMapSize
+
+    rng = np.random.RandomState(0)
+    dataset = make_dataset(str(tmp_path), rng)
+    loader = DataloaderOneShotDetection(
+        dataset=dataset, batch_size=2, class_batch_size=4,
+        random_crop_size=FeatureMapSize(w=320, h=320), random_crop_scale=1.0,
+        do_augmentation=True, mine_extra_class_images=True,
+        class_shape_palette=[(240, 240)],
+    )
+    assert loader.label_image_collection
+    # every class with non-difficult boxes has mined views
+    assert set(loader.label_image_collection) == {0, 1}
+    # batches still assemble with the mined collection active
+    batch = loader.get_batch(0)
+    assert batch["images"].shape[0] == 2
