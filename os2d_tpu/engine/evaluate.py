@@ -369,9 +369,14 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     )
 
     use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
+    # the fused program unrolls class chunks; cap the unroll so grozi-scale
+    # class counts (~1000) fall back to the per-chunk dispatch path instead of
+    # compiling a 60-chunk graph
+    fused_class_cap = int(cfg.tpu.eval_class_chunk) * 8
     use_fused = (
         use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
         and mesh is None
+        and class_head.class_feats.shape[0] <= fused_class_cap
     )
     viz_cfg = cfg.visualization.eval
     viz_dir = ""
