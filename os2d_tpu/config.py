@@ -243,6 +243,7 @@ def get_default_cfg() -> ConfigNode:
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
+            fold_bn=False,            # fold frozen BN into conv weights for eval
             resume="",                # checkpoint path for exact training resume
             checkpoint_backend="pickle",  # "pickle" | "orbax"
         ),

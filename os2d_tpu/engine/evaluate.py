@@ -362,6 +362,11 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     logger.info(f"Starting evaluation on {dataset_name}")
     t_start = time.time()
 
+    if bool(cfg.tpu.get("fold_bn", False)):
+        from ..models.os2d import fold_inference_params
+
+        params = fold_inference_params(params)
+
     evaluator = Evaluator(model, cfg, logger_prefix, mesh=mesh)
     class_images, _, class_ids = dataloader.get_all_class_images()
     class_head, num_views = evaluator.build_class_heads(

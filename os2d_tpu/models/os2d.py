@@ -85,6 +85,29 @@ def label_backbone_params(params):
     return params.get("label_backbone", params["backbone"])
 
 
+def fold_inference_params(params):
+    """Fold all frozen BatchNorms into their convs for inference.
+
+    Returns a new params pytree with every BN absorbed into the preceding
+    conv's weights (backbone, label backbone if separate, and the
+    TransformationNet). The folded tree runs through the same forward
+    functions, does strictly less work per layer, and — crucially — has no
+    fp32 normalization islands, so compute_dtype=bfloat16 stays bf16
+    end-to-end. Inference only: never feed folded params to the optimizer.
+    """
+    from .resnet import fold_batchnorm_c4
+    from .transform_net import fold_batchnorm_transform_net
+
+    out = dict(
+        params,
+        backbone=fold_batchnorm_c4(params["backbone"]),
+        transform_net=fold_batchnorm_transform_net(params["transform_net"]),
+    )
+    if "label_backbone" in params:
+        out["label_backbone"] = fold_batchnorm_c4(params["label_backbone"])
+    return out
+
+
 def normalize_images(images_nhwc, config: Os2dConfig):
     """Apply the dataset mean/std normalization to [0,1]-range NHWC images."""
     mean = jnp.asarray(config.normalization_mean, jnp.float32)

@@ -56,6 +56,12 @@ def _conv(x, w, stride=1, padding=0, dtype=None):
 
 def _norm(x, p):
     """Frozen BatchNorm (has running stats) or GroupNorm (no stats)."""
+    if "folded_bias" in p:
+        # BN already folded into the preceding conv's weights
+        # (fold_batchnorm_c4): only the bias remains. Stays in the compute
+        # dtype — this is what makes an end-to-end bf16 inference path
+        # possible without fp32 cast traffic around every normalization.
+        return x + p["folded_bias"].astype(x.dtype)
     if "mean" in p:
         inv = lax.rsqrt(p["var"].astype(jnp.float32) + BN_EPS)
         scale = p["scale"].astype(jnp.float32) * inv
@@ -83,6 +89,59 @@ def _bottleneck(x, p, stride, dtype):
     else:
         identity = x
     return jax.nn.relu(out + identity)
+
+
+def _fold_conv_bn(conv_w, bn):
+    """(conv, frozen-BN) -> (scaled conv, {'folded_bias': b}).
+
+    BN(y) = y*f + (bias - mean*f) with f = scale*rsqrt(var+eps), so scaling
+    the conv's output channels (last axis of HWIO) by f absorbs the multiply
+    and leaves a pure bias add. GroupNorm params (no running stats) pass
+    through untouched — GN depends on the batch activations and cannot fold.
+    """
+    if "mean" not in bn:
+        return conv_w, bn
+    f = bn["scale"].astype(jnp.float32) * lax.rsqrt(
+        bn["var"].astype(jnp.float32) + BN_EPS
+    )
+    w = conv_w.astype(jnp.float32) * f
+    bias = bn["bias"].astype(jnp.float32) - bn["mean"].astype(jnp.float32) * f
+    return w, {"folded_bias": bias}
+
+
+def fold_batchnorm_c4(params):
+    """Inference-only transform: fold every frozen BN into its conv.
+
+    Returns a new param pytree accepted by resnet_c4_forward; the BN slots
+    become {'folded_bias': ...}. Cuts the per-block fp32 upcast + two
+    elementwise passes, which is what lets compute_dtype=bfloat16 run the
+    backbone without any fp32 traffic (ROADMAP item: BN folding at
+    inference). Do NOT train on folded params: folding freezes the BN stats
+    into the weights and changes the gradient parameterization.
+    """
+    out = {}
+    w, b = _fold_conv_bn(params["conv1"], params["bn1"])
+    out["conv1"], out["bn1"] = w, b
+    for layer in ("layer1", "layer2", "layer3", "layer4"):
+        if layer not in params:
+            continue
+        blocks = []
+        for p in params[layer]:
+            q = {}
+            for ci in (1, 2, 3):
+                q[f"conv{ci}"], q[f"bn{ci}"] = _fold_conv_bn(
+                    p[f"conv{ci}"], p[f"bn{ci}"]
+                )
+            if "downsample_conv" in p:
+                q["downsample_conv"], q["downsample_bn"] = _fold_conv_bn(
+                    p["downsample_conv"], p["downsample_bn"]
+                )
+            blocks.append(q)
+        out[layer] = blocks
+    for k in ("fc",):
+        if k in params:
+            out[k] = params[k]
+    return out
 
 
 def resnet_c4_forward(params, images_nhwc, compute_dtype=jnp.float32):

@@ -47,14 +47,41 @@ def _bn(x, p):
 
 
 def transform_net_forward(params, corr_maps_nhwc, compute_dtype=jnp.float32):
-    """corr maps [N, H, W, 225] -> transform params [N, H, W, output_dim]."""
+    """corr maps [N, H, W, 225] -> transform params [N, H, W, output_dim].
+
+    Accepts either raw params (conv + frozen BN) or params produced by
+    fold_batchnorm_transform_net (BN absorbed into the conv, "bn*" absent).
+    """
     x = l2_normalize_channels(jax.nn.relu(corr_maps_nhwc), eps=1e-6, axis=-1)
     x = _conv(x, params["conv0"]["w"], params["conv0"]["b"], 3, compute_dtype)
-    x = jax.nn.relu(_bn(x, params["bn0"]))
+    x = jax.nn.relu(_bn(x, params["bn0"]) if "bn0" in params else x)
     x = _conv(x, params["conv1"]["w"], params["conv1"]["b"], 2, compute_dtype)
-    x = jax.nn.relu(_bn(x, params["bn1"]))
+    x = jax.nn.relu(_bn(x, params["bn1"]) if "bn1" in params else x)
     x = _conv(x, params["linear"]["w"], params["linear"]["b"], 2, compute_dtype)
     return x
+
+
+def fold_batchnorm_transform_net(params):
+    """Inference-only transform: fold the two frozen BNs into their convs.
+
+    BN(conv(x, W) + b) = conv(x, W*f) + (b*f + bias - mean*f), so both the
+    conv bias and the BN affine collapse into one bias. The "bn*" keys are
+    dropped; transform_net_forward detects that and skips the BN stage.
+    """
+    out = {"linear": params["linear"]}
+    for name, bn_name in (("conv0", "bn0"), ("conv1", "bn1")):
+        conv = params[name]
+        bn = params[bn_name]
+        f = bn["scale"].astype(jnp.float32) * lax.rsqrt(
+            bn["var"].astype(jnp.float32) + BN_EPS
+        )
+        out[name] = {
+            "w": conv["w"].astype(jnp.float32) * f,
+            "b": conv["b"].astype(jnp.float32) * f
+            + bn["bias"].astype(jnp.float32)
+            - bn["mean"].astype(jnp.float32) * f,
+        }
+    return out
 
 
 def init_transform_net_params(key, output_dim: int = 6):

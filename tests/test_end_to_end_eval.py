@@ -162,3 +162,19 @@ def test_eval_classic_path_batch2(synthetic_loader):
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
     results = evaluate(synthetic_loader, model, params, cfg)
     assert results["mAP@0.50"] > 0.9, results
+
+
+def test_eval_fold_bn_matches(synthetic_loader):
+    """cfg.tpu.fold_bn folds frozen BN into convs; detections must survive."""
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 512
+    cfg.tpu.eval_top_k = 64
+    cfg.tpu.fold_bn = True
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    results = evaluate(synthetic_loader, model, params, cfg)
+    assert results["mAP@0.50"] > 0.9, results
