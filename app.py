@@ -9,6 +9,14 @@ rebuilds per request, app.py:50-67). Environment variables:
   OS2D_CHECKPOINT - path to a checkpoint (.pkl from this framework or a
                     reference .pth); random init if unset.
   OS2D_PYRAMID    - comma-separated pyramid scales (default "1.0").
+  OS2D_TTA        - query test-time augmentation: "" (default) |
+                    "rotation90" | "horflip" | "horflip_rotation90".
+
+POST /detect-batch
+  {"images": [{"content": <b64>}, ...], "query": [{"content": <b64>}, ...]}
+  -> {"results": [{"scores": ..., "bboxes": ...}, ...]}
+  One query set against N images: each pyramid scale runs as a single
+  batched backbone+head dispatch (shared class head, common canvas).
 """
 
 import os
@@ -48,7 +56,10 @@ def build_service() -> DetectionService:
     scales = tuple(
         float(s) for s in os.environ.get("OS2D_PYRAMID", "1.0").split(",")
     )
-    return DetectionService(model, params, pyramid_scales=scales)
+    return DetectionService(
+        model, params, pyramid_scales=scales,
+        class_image_augmentation=os.environ.get("OS2D_TTA", ""),
+    )
 
 
 app = FastAPI(title="os2d-tpu one-shot detection")
@@ -59,6 +70,12 @@ service = build_service()
 async def detect_all_instances(request: Request):
     payload = await request.json()
     return service.detect_from_request(payload)
+
+
+@app.post("/detect-batch")
+async def detect_batch(request: Request):
+    payload = await request.json()
+    return service.detect_batch_from_request(payload)
 
 
 @app.get("/health")

@@ -37,15 +37,27 @@ def decode_base64_to_image(b64: str) -> Image.Image:
 
 
 class DetectionService:
-    """Holds the model + params; thread-safe for read-only inference."""
+    """Holds the model + params; thread-safe for read-only inference.
+
+    Serving features beyond the reference handler (app.py:48-103):
+      - pyramid_scales: multiscale input pyramid (the reference app serves a
+        single scale even though its eval engine is multiscale);
+      - class_image_augmentation: test-time query augmentation
+        ("rotation90" | "horflip" | "horflip_rotation90"), same view merge
+        as engine/evaluate.py;
+      - detect_batch: N images x one query set in ONE backbone+head dispatch
+        per scale (shared class head, common padded canvas).
+    """
 
     def __init__(self, model: Os2dModel, params, score_threshold=SCORE_THRESHOLD,
-                 max_detections=MAX_DETECTIONS, pyramid_scales=(1.0,)):
+                 max_detections=MAX_DETECTIONS, pyramid_scales=(1.0,),
+                 class_image_augmentation: str = ""):
         self.model = model
         self.params = params
         self.score_threshold = score_threshold
         self.max_detections = max_detections
         self.pyramid_scales = tuple(pyramid_scales)
+        self.class_image_augmentation = class_image_augmentation
         self.img_normalization = {
             "mean": model.config.normalization_mean,
             "std": model.config.normalization_std,
@@ -65,27 +77,37 @@ class DetectionService:
         resized = query.resize((new.w, new.h), Image.BILINEAR)
         return image_to_normalized_array(resized, self.img_normalization)
 
-    def detect(self, image: Image.Image, queries: List[Image.Image]):
-        """Returns {"scores": [...], "bboxes": [[lx, ty, rx, by], ...]} with
-        RELATIVE coordinates (reference app.py:83-103)."""
-        orig_w, orig_h = image.size
+    def _build_class_head(self, queries: List[Image.Image]):
+        """Prepared query arrays -> (ClassHead, num_views) with optional TTA."""
+        from ..engine.evaluate import augment_class_images
 
-        query_arrays = [jnp.asarray(self._prepare_query(q)) for q in queries]
-        class_head = self.model.build_class_head_from_images(
-            self.params, query_arrays
+        query_arrays = [self._prepare_query(q) for q in queries]
+        views, num_views = augment_class_images(
+            query_arrays, self.class_image_augmentation
         )
+        class_head = self.model.build_class_head_from_images(
+            self.params, [jnp.asarray(v) for v in views]
+        )
+        return class_head, num_views
 
-        loc_pyramid, cls_pyramid, img_sizes, inv_scales = [], [], [], []
-        for scale in self.pyramid_scales:
-            arr, img_size = self._prepare_input(image, scale)
-            fm = self.model.extract_features(self.params, jnp.asarray(arr[None]))
-            out = self.model.apply_head(self.params, fm, class_head,
-                                        train_mode=False)
-            loc_pyramid.append(out["loc"][0])
-            cls_pyramid.append(out["cls"][0])
-            img_sizes.append(img_size)
-            inv_scales.append((orig_w / img_size.w, orig_h / img_size.h))
+    def _merge_views(self, loc_pyramid, cls_pyramid, img_sizes, inv_scales,
+                     num_views):
+        """TTA views of one query occupy contiguous rows; merge them for joint
+        per-query NMS by treating each view as an extra pyramid level (same
+        trick as engine/evaluate.py decode_image)."""
+        if num_views <= 1:
+            return loc_pyramid, cls_pyramid, img_sizes, inv_scales
+        loc_pyramid = [l[v::num_views] for l in loc_pyramid for v in range(num_views)]
+        cls_pyramid = [c[v::num_views] for c in cls_pyramid for v in range(num_views)]
+        img_sizes = [s for s in img_sizes for _ in range(num_views)]
+        inv_scales = [s for s in inv_scales for _ in range(num_views)]
+        return loc_pyramid, cls_pyramid, img_sizes, inv_scales
 
+    def _decode_to_response(self, loc_pyramid, cls_pyramid, img_sizes,
+                            inv_scales, num_views, orig_w, orig_h):
+        loc_pyramid, cls_pyramid, img_sizes, inv_scales = self._merge_views(
+            loc_pyramid, cls_pyramid, img_sizes, inv_scales, num_views
+        )
         det = decode_pyramid(
             loc_pyramid, cls_pyramid, img_sizes, inv_scales,
             nms_iou_threshold=0.3, score_threshold=float("-inf"),
@@ -99,7 +121,12 @@ class DetectionService:
         for row in range(boxes.shape[0]):
             m = valid[row] & (scores[row] > self.score_threshold)
             for b, s in zip(boxes[row][m], scores[row][m]):
-                flat.append((float(s), b))
+                # drop boxes whose center left the original image (batched
+                # canvases have padding to the right/bottom)
+                cx = 0.5 * (float(b[0]) + float(b[2]))
+                cy = 0.5 * (float(b[1]) + float(b[3]))
+                if 0 <= cx <= orig_w and 0 <= cy <= orig_h:
+                    flat.append((float(s), b))
         flat.sort(key=lambda x: -x[0])
         flat = flat[: self.max_detections]
 
@@ -116,9 +143,93 @@ class DetectionService:
             ],
         }
 
+    def detect(self, image: Image.Image, queries: List[Image.Image]):
+        """Returns {"scores": [...], "bboxes": [[lx, ty, rx, by], ...]} with
+        RELATIVE coordinates (reference app.py:83-103)."""
+        orig_w, orig_h = image.size
+        class_head, num_views = self._build_class_head(queries)
+
+        loc_pyramid, cls_pyramid, img_sizes, inv_scales = [], [], [], []
+        for scale in self.pyramid_scales:
+            arr, img_size = self._prepare_input(image, scale)
+            fm = self.model.extract_features(self.params, jnp.asarray(arr[None]))
+            out = self.model.apply_head(self.params, fm, class_head,
+                                        train_mode=False)
+            loc_pyramid.append(out["loc"][0])
+            cls_pyramid.append(out["cls"][0])
+            img_sizes.append(img_size)
+            inv_scales.append((orig_w / img_size.w, orig_h / img_size.h))
+
+        return self._decode_to_response(
+            loc_pyramid, cls_pyramid, img_sizes, inv_scales, num_views,
+            orig_w, orig_h,
+        )
+
+    def detect_batch(self, images: List[Image.Image],
+                     queries: List[Image.Image]):
+        """N images against ONE query set, batched onto a shared canvas.
+
+        All images of a batch are resized (longer side -> TARGET*scale) and
+        pasted top-left onto a common [B, T, T, 3] canvas (zeros = dataset
+        mean after normalization), so each pyramid scale is ONE backbone+head
+        dispatch for the whole batch — the production serving shape: a fixed
+        catalog of queries against a stream of images. Returns a list of
+        per-image {"scores", "bboxes"} responses.
+        """
+        if not images:
+            return []
+        class_head, num_views = self._build_class_head(queries)
+
+        per_image = [
+            {"loc": [], "cls": [], "sizes": [], "scales": []} for _ in images
+        ]
+        for scale in self.pyramid_scales:
+            canvas_side = int(round(TARGET_IMAGE_SIZE * scale))
+            batch = np.zeros(
+                (len(images), canvas_side, canvas_side, 3), np.float32
+            )
+            resized_sizes = []
+            for i, image in enumerate(images):
+                w, h = image.size
+                ratio = canvas_side / max(w, h)
+                new_size = (
+                    max(1, int(w * ratio)), max(1, int(h * ratio))
+                )
+                resized = image.resize(new_size, Image.BILINEAR)
+                arr = image_to_normalized_array(resized, self.img_normalization)
+                batch[i, : arr.shape[0], : arr.shape[1]] = arr
+                resized_sizes.append(new_size)
+            fm = self.model.extract_features(self.params, jnp.asarray(batch))
+            out = self.model.apply_head(self.params, fm, class_head,
+                                        train_mode=False)
+            for i, image in enumerate(images):
+                orig_w, orig_h = image.size
+                rw, rh = resized_sizes[i]
+                per_image[i]["loc"].append(out["loc"][i])
+                per_image[i]["cls"].append(out["cls"][i])
+                per_image[i]["sizes"].append(
+                    FeatureMapSize(w=canvas_side, h=canvas_side)
+                )
+                per_image[i]["scales"].append((orig_w / rw, orig_h / rh))
+
+        return [
+            self._decode_to_response(
+                acc["loc"], acc["cls"], acc["sizes"], acc["scales"],
+                num_views, image.size[0], image.size[1],
+            )
+            for image, acc in zip(images, per_image)
+        ]
+
     def detect_from_request(self, payload: dict):
         """Request schema of the reference (app.py:48):
         {"image": {"content": b64}, "query": [{"content": b64}, ...]}"""
         image = decode_base64_to_image(payload["image"]["content"])
         queries = [decode_base64_to_image(q["content"]) for q in payload["query"]]
         return self.detect(image, queries)
+
+    def detect_batch_from_request(self, payload: dict):
+        """Batched schema: {"images": [{"content": b64}, ...],
+        "query": [{"content": b64}, ...]} -> {"results": [per-image dicts]}."""
+        images = [decode_base64_to_image(im["content"]) for im in payload["images"]]
+        queries = [decode_base64_to_image(q["content"]) for q in payload["query"]]
+        return {"results": self.detect_batch(images, queries)}

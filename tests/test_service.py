@@ -53,3 +53,79 @@ def test_service_detects_planted_query():
     np.testing.assert_allclose(
         top, [x0 / 640, y0 / 480, (x0 + 240) / 640, (y0 + 240) / 480], atol=0.08
     )
+
+
+def _planted_scene(rng, w, h, patch, x0, y0):
+    scene = rng.randint(0, 60, (h, w, 3), np.uint8)
+    scene[y0: y0 + patch.shape[0], x0: x0 + patch.shape[1]] = patch
+    return scene
+
+
+def test_service_detect_batch_two_images():
+    """detect_batch: one query set against two scenes of DIFFERENT sizes,
+    each pyramid scale as one batched dispatch on a shared canvas."""
+    rng = np.random.RandomState(1)
+    patch = np.kron(
+        rng.randint(0, 255, (30, 30, 3), np.uint8), np.ones((8, 8, 1), np.uint8)
+    )
+    plants = [((640, 480), (48, 112)), ((560, 560), (304, 48))]
+    scenes = [
+        _planted_scene(rng, w, h, patch, x0, y0)
+        for (w, h), (x0, y0) in plants
+    ]
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    import os2d_tpu.api.service as service_mod
+
+    service = DetectionService(model, params, score_threshold=0.3)
+    orig = service_mod.TARGET_IMAGE_SIZE
+    service_mod.TARGET_IMAGE_SIZE = 640
+    try:
+        results = service.detect_batch(
+            [Image.fromarray(s) for s in scenes], [Image.fromarray(patch)]
+        )
+    finally:
+        service_mod.TARGET_IMAGE_SIZE = orig
+
+    assert len(results) == 2
+    for ((w, h), (x0, y0)), res in zip(plants, results):
+        assert res["scores"], f"no detections for scene {w}x{h}"
+        top = res["bboxes"][0]
+        np.testing.assert_allclose(
+            top, [x0 / w, y0 / h, (x0 + 240) / w, (y0 + 240) / h], atol=0.08
+        )
+        # relative coords stay in the image: canvas padding is filtered out
+        assert all(-0.05 <= c <= 1.05 for c in top)
+
+
+def test_service_tta_rotation90():
+    """class_image_augmentation expands query views; the original view still
+    matches the planted patch and views merge under one per-query NMS."""
+    rng = np.random.RandomState(2)
+    patch = np.kron(
+        rng.randint(0, 255, (30, 30, 3), np.uint8), np.ones((8, 8, 1), np.uint8)
+    )
+    scene = _planted_scene(rng, 640, 480, patch, 48, 112)
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    import os2d_tpu.api.service as service_mod
+
+    service = DetectionService(model, params, score_threshold=0.3,
+                               class_image_augmentation="rotation90")
+    orig = service_mod.TARGET_IMAGE_SIZE
+    service_mod.TARGET_IMAGE_SIZE = 640
+    try:
+        result = service.detect(Image.fromarray(scene), [Image.fromarray(patch)])
+    finally:
+        service_mod.TARGET_IMAGE_SIZE = orig
+
+    assert result["scores"]
+    top = result["bboxes"][0]
+    np.testing.assert_allclose(
+        top, [48 / 640, 112 / 480, (48 + 240) / 640, (112 + 240) / 480],
+        atol=0.08,
+    )
