@@ -238,10 +238,18 @@ def mine_hard_patches(dataloader, model, params, cfg, objective_cfg):
             level_sizes = [p[1].shape[2] for p in per_level]
             offsets = np.cumsum([0] + level_sizes)
 
+            # device->host ONCE per image; rows are laid out level-major then
+            # label-major: [level0: label0 A0 rows, label1 A0 rows, ...]
+            cls_loss_np = np.asarray(per_anchor["cls_loss"])[0]  # [L, A_tot]
+            loc_loss_np = np.asarray(per_anchor["loc_loss"])[0]
+            pos_np = np.asarray(per_anchor["pos_mask"])[0]
+            neg_np = np.asarray(per_anchor["neg_mask"])[0]
+            pos_loc_np = np.asarray(per_anchor["pos_for_regression"])[0]
+
             crops_all, anchors_all, labels_all, levels_all = [], [], [], []
             losses_all, losses_loc_all = [], []
             pos_all, pos_loc_all, neg_all, anchor_idx_all = [], [], [], []
-            corners_all = []
+            corners_all, scores_all = [], []
             for i_p in range(len(pyramids)):
                 sx, sy = inverse_scales[i_image][i_p]
                 crop_boxes, anchor_boxes, anchor_index = get_box_to_cut_anchor(
@@ -251,36 +259,29 @@ def mine_hard_patches(dataloader, model, params, cfg, objective_cfg):
                 crop_boxes = crop_boxes * scale_vec
                 anchor_boxes = anchor_boxes * scale_vec
                 sl = slice(offsets[i_p], offsets[i_p + 1])
+                a = len(crop_boxes)
                 corners = np.asarray(level_outputs[i_p]["corners"][i_image])
                 corners = corners * np.tile(np.asarray([sx, sy], np.float32), 4)[
                     None, :, None
-                ]
-                for i_label in range(num_labels):
-                    crops_all.append(crop_boxes)
-                    anchors_all.append(anchor_boxes)
-                    labels_all.append(np.full(len(crop_boxes), i_label))
-                    levels_all.append(np.full(len(crop_boxes), i_p))
-                    anchor_idx_all.append(anchor_index)
-                    losses_all.append(
-                        np.asarray(per_anchor["cls_loss"])[0, i_label, sl]
-                    )
-                    losses_loc_all.append(
-                        np.asarray(per_anchor["loc_loss"])[0, i_label, sl]
-                    )
-                    pos_all.append(np.asarray(per_anchor["pos_mask"])[0, i_label, sl])
-                    neg_all.append(np.asarray(per_anchor["neg_mask"])[0, i_label, sl])
-                    pos_loc_all.append(
-                        np.asarray(per_anchor["pos_for_regression"])[0, i_label, sl]
-                    )
-                    corners_all.append(corners[i_label].T)  # [A, 8]
+                ]  # [L, 8, A]
+                crops_all.append(np.tile(crop_boxes, (num_labels, 1)))
+                anchors_all.append(np.tile(anchor_boxes, (num_labels, 1)))
+                labels_all.append(np.repeat(np.arange(num_labels), a))
+                levels_all.append(np.full(num_labels * a, i_p))
+                anchor_idx_all.append(np.tile(anchor_index, num_labels))
+                losses_all.append(cls_loss_np[:, sl].reshape(-1))
+                losses_loc_all.append(loc_loss_np[:, sl].reshape(-1))
+                pos_all.append(pos_np[:, sl].reshape(-1))
+                neg_all.append(neg_np[:, sl].reshape(-1))
+                pos_loc_all.append(pos_loc_np[:, sl].reshape(-1))
+                corners_all.append(
+                    np.transpose(corners, (0, 2, 1)).reshape(num_labels * a, 8)
+                )
+                scores_all.append(
+                    np.asarray(level_outputs[i_p]["cls"][i_image]).reshape(-1)
+                )
 
-            scores_np = np.concatenate(
-                [
-                    np.asarray(level_outputs[i_p]["cls"][i_image][i_label])
-                    for i_p in range(len(pyramids))
-                    for i_label in range(num_labels)
-                ]
-            )
+            scores_np = np.concatenate(scores_all)
             crops_all = np.concatenate(crops_all)
             anchors_all = np.concatenate(anchors_all)
             labels_all = np.concatenate(labels_all)
