@@ -244,6 +244,7 @@ def get_default_cfg() -> ConfigNode:
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval
+            quantize_class_feats=False,  # int8 class-feature bank (4x HBM saving)
             resume="",                # checkpoint path for exact training resume
             checkpoint_backend="pickle",  # "pickle" | "orbax"
         ),

@@ -104,13 +104,24 @@ class Evaluator:
         Returns per level dicts with loc [B, Cv, 4, A_l], cls [B, Cv, A_l]
         (+ corners [B, Cv, 8, A_l] if want_corners).
         """
+        from ..models.head import QuantizedClassHead, dequantize_class_head
+
         chunk = int(self.cfg.tpu.eval_class_chunk)
+        quantized = isinstance(class_head, QuantizedClassHead)
         if self.mesh is not None:
+            if quantized:
+                # class sharding moves fp32 chunks; int8 banks are a
+                # single-chip HBM optimization — dequantize up-front here
+                class_head = dequantize_class_head(class_head)
+                quantized = False
             # keep per-chip chunks intact: round the chunk up to the mesh size
             n_dev = self.mesh.devices.size
             chunk = max(chunk, n_dev)
             chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
-        c_total = class_head.class_feats.shape[0]
+        feats_bank = (
+            class_head.class_feats_q if quantized else class_head.class_feats
+        )
+        c_total = feats_bank.shape[0]
         outputs = []
         for level_images in pyramid_images:
             fm = self.model.extract_features(params, jnp.asarray(level_images))
@@ -119,8 +130,9 @@ class Evaluator:
                 end = min(start + chunk, c_total)
                 # pad the last chunk to the full chunk size to avoid recompiles
                 pad = chunk - (end - start)
-                feats = class_head.class_feats[start:end]
+                feats = feats_bank[start:end]
                 mask = class_head.pool_mask[start:end]
+                scales = class_head.scales[start:end] if quantized else None
                 if pad:
                     feats = jnp.concatenate(
                         [feats, jnp.zeros((pad,) + feats.shape[1:], feats.dtype)]
@@ -128,9 +140,17 @@ class Evaluator:
                     mask = jnp.concatenate(
                         [mask, jnp.zeros((pad,) + mask.shape[1:], mask.dtype)]
                     )
-                feats, mask = self._shard_class_chunk(feats, mask)
+                    if quantized:
+                        scales = jnp.concatenate(
+                            [scales, jnp.ones((pad,), scales.dtype)]
+                        )
+                if quantized:
+                    chunk_head = QuantizedClassHead(feats, scales, mask)
+                else:
+                    feats, mask = self._shard_class_chunk(feats, mask)
+                    chunk_head = ClassHead(feats, mask)
                 out = self.model.apply_head(
-                    params, fm, ClassHead(feats, mask), train_mode=False
+                    params, fm, chunk_head, train_mode=False
                 )
                 locs.append(out["loc"][:, : end - start])
                 clss.append(out["cls"][:, : end - start])
@@ -373,6 +393,12 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         params, class_images, cfg.eval.class_image_augmentation
     )
 
+    quantize_bank = bool(cfg.tpu.get("quantize_class_feats", False))
+    if quantize_bank:
+        from ..models.head import quantize_class_head
+
+        class_head = quantize_class_head(class_head)
+
     use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
     # the fused program unrolls class chunks; cap the unroll so grozi-scale
     # class counts (~1000) fall back to the per-chunk dispatch path instead of
@@ -380,7 +406,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     fused_class_cap = int(cfg.tpu.eval_class_chunk) * 8
     use_fused = (
         use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
-        and mesh is None
+        and mesh is None and not quantize_bank  # int8 bank -> chunked path
         and class_head.class_feats.shape[0] <= fused_class_cap
     )
     viz_cfg = cfg.visualization.eval

@@ -92,6 +92,38 @@ def build_class_head(class_feature_maps) -> ClassHead:
     return ClassHead(class_feats=feats, pool_mask=make_class_pool_mask(feats.shape[0], feats.dtype))
 
 
+class QuantizedClassHead(NamedTuple):
+    """int8-quantized class-feature bank.
+
+    4x smaller HBM footprint than the fp32 bank — at grozi scale (C~1000,
+    [C, 15, 15, 1024] fp32 = ~0.9 GB) that headroom matters. Features are
+    L2-normalized over F (build_class_head), so per-class absmax scaling
+    keeps the quantization step ~absmax/127 and correlation-score error in
+    the 1e-3 range. Dequantize per chunk on device (dequantize_class_head)
+    inside the jitted program; the bank itself stays int8 in HBM.
+    """
+
+    class_feats_q: jnp.ndarray  # [C, 15, 15, F] int8
+    scales: jnp.ndarray  # [C] fp32: absmax / 127
+    pool_mask: jnp.ndarray  # [C, 15, 15]
+
+
+def quantize_class_head(head: ClassHead) -> QuantizedClassHead:
+    absmax = jnp.max(jnp.abs(head.class_feats), axis=(1, 2, 3))
+    scales = (jnp.maximum(absmax, 1e-12) / 127.0).astype(jnp.float32)
+    q = jnp.clip(
+        jnp.round(head.class_feats / scales[:, None, None, None]), -127, 127
+    ).astype(jnp.int8)
+    return QuantizedClassHead(q, scales, head.pool_mask)
+
+
+def dequantize_class_head(qhead: QuantizedClassHead) -> ClassHead:
+    feats = qhead.class_feats_q.astype(jnp.float32) * qhead.scales[
+        :, None, None, None
+    ]
+    return ClassHead(class_feats=feats, pool_mask=qhead.pool_mask)
+
+
 def _prepare_theta(tparams, simple_affine: bool):
     """[N, p] regressor outputs -> [N, 2, 3] affine matrices
     (os2d/modeling/head.py:81-107)."""

@@ -137,7 +137,13 @@ class Os2dModel:
             label_backbone_params(params), images_nhwc, self.config.dtype
         )
 
-    def _head(self, params, feature_maps, class_head: ClassHead, train_mode: bool):
+    def _head(self, params, feature_maps, class_head, train_mode: bool):
+        from .head import QuantizedClassHead, dequantize_class_head
+
+        if isinstance(class_head, QuantizedClassHead):
+            # int8 chunk -> fp32 on device, INSIDE the jitted program: the
+            # bank stays int8 in HBM, only the active chunk materializes fp32
+            class_head = dequantize_class_head(class_head)
         return head_forward(
             params["transform_net"],
             feature_maps,
