@@ -445,6 +445,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         # single-dispatch path: uint8 image in -> detections out, one program
         predictions = []
         gts = []
+        all_image_ids = []
         img_norm = dataloader.img_normalization
         for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
                 dataloader.make_raw_iterator_for_all_images(1)):
@@ -470,6 +471,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                 "image_size": (init_size.w, init_size.h),
             }
             predictions.append(pred)
+            all_image_ids.append(image_id)
             _visualize(image_id, pred["boxes"], pred["scores"], pred["labels"])
             ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
             gts.append(
@@ -482,7 +484,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             )
         return _finish_evaluation(
             predictions, gts, cfg, class_ids, dataset_name, t_start, {}, 0,
-            print_per_class_results, logger,
+            print_per_class_results, logger, image_ids=all_image_ids,
         )
 
     if use_device_pyramid:
@@ -511,6 +513,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
 
     predictions = []
     gts = []
+    all_image_ids = []
     loss_sums = {}
     num_loss_images = 0
     for batch_ids, pyramids, inverse_scales, initial_sizes in batches():
@@ -560,6 +563,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     "image_size": (init_size.w, init_size.h),
                 }
             )
+            all_image_ids.append(image_id)
             _visualize(image_id, det_boxes, det_scores, det_labels)
             ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
             gts.append(
@@ -574,13 +578,36 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     return _finish_evaluation(
         predictions, gts, cfg, class_ids, dataset_name, t_start, loss_sums,
         num_loss_images, print_per_class_results, logger,
+        image_ids=all_image_ids,
     )
 
 
 def _finish_evaluation(predictions, gts, cfg, class_ids, dataset_name, t_start,
                        loss_sums, num_loss_images, print_per_class_results,
-                       logger):
+                       logger, image_ids=None):
     results = {}
+
+    # optional raw-detection dump (reference evaluate.py:136-149; pickle
+    # instead of torch.save — everything here is plain numpy)
+    save_dir = str(cfg.visualization.eval.get("path_to_save_detections", ""))
+    if save_dir:
+        import os as _os
+        import pickle
+
+        data = {
+            "image_ids": list(image_ids) if image_ids is not None else [],
+            "boxes_xyxy": [p["boxes"] for p in predictions],
+            "labels": [p["labels"] for p in predictions],
+            "scores": [p["scores"] for p in predictions],
+            "gt_boxes_xyxy": [np.asarray(g["boxes"]) for g in gts],
+            "gt_labels": [np.asarray(g["labels"]) for g in gts],
+            "gt_difficults": [np.asarray(g["difficult"]) for g in gts],
+        }
+        _os.makedirs(save_dir, exist_ok=True)
+        save_path = _os.path.join(save_dir, f"{dataset_name}_detections.pkl")
+        with open(save_path, "wb") as f:
+            pickle.dump(data, f)
+        logger.info(f"Saved detections to {save_path}")
     for iou_thresh in cfg.eval.mAP_iou_thresholds:
         res = do_voc_evaluation(predictions, gts, iou_thresh=iou_thresh)
         results[f"mAP@{iou_thresh:0.2f}"] = res["map"]

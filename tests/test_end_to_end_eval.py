@@ -178,3 +178,32 @@ def test_eval_fold_bn_matches(synthetic_loader):
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
     results = evaluate(synthetic_loader, model, params, cfg)
     assert results["mAP@0.50"] > 0.9, results
+
+
+def test_eval_saves_detections(synthetic_loader, tmp_path):
+    """cfg.visualization.eval.path_to_save_detections dumps raw detections
+    (reference evaluate.py:136-149, pickle instead of torch.save)."""
+    import pickle
+
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+    cfg.visualization.eval.path_to_save_detections = str(tmp_path / "dets")
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    evaluate(synthetic_loader, model, params, cfg)
+
+    path = tmp_path / "dets" / f"{synthetic_loader.get_name()}_detections.pkl"
+    assert path.exists()
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    n = len(data["image_ids"])
+    assert n == 2  # the synthetic dataset has two scenes
+    for key in ("boxes_xyxy", "labels", "scores",
+                "gt_boxes_xyxy", "gt_labels", "gt_difficults"):
+        assert len(data[key]) == n, key
+    assert all(b.shape[1] == 4 for b in data["boxes_xyxy"] if len(b))
