@@ -345,6 +345,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
     """
     logger = logging.getLogger("OS2D.train")
     t_start = time.time()
+    ckpt_backend = str(cfg.tpu.get("checkpoint_backend", "pickle"))
     full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)
@@ -384,6 +385,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                     params, opt_state, cfg.output.path,
                     model_name=checkpoint_best_model_name,
                     extra_fields={"criterion_value": best_model_metric},
+                    backend=ckpt_backend,
                 )
             else:
                 raise RuntimeError(
@@ -394,7 +396,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             log_meters(full_log, t_start, -1, cfg.output.path, meters_eval=meters_eval)
             if cfg.output.path:
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=0,
-                                 full_log=full_log)
+                                 full_log=full_log, backend=ckpt_backend)
 
         prefetcher = BatchPrefetcher(dataloader_train)
         pending = False  # a batch is scheduled on the prefetcher
@@ -469,6 +471,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                                 params, opt_state, cfg.output.path,
                                 model_name=checkpoint_best_model_name,
                                 extra_fields={"criterion_value": cur_metric},
+                                backend=ckpt_backend,
                             )
                         best_model_metric = cur_metric
 
@@ -503,7 +506,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             if (cfg.output.path and cfg.output.save_iter
                     and i_iter % cfg.output.save_iter == 0):
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter,
-                                 full_log=full_log)
+                                 full_log=full_log, backend=ckpt_backend)
 
         if pending:
             prefetcher.get()
@@ -520,5 +523,6 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             checkpoint_model(
                 params, opt_state, cfg.output.path,
                 i_iter=cfg.train.optim.max_iter, full_log=full_log,
+                backend=ckpt_backend,
             )
     return params, opt_state, full_log, meters_eval

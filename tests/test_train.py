@@ -166,3 +166,37 @@ def test_trainval_loop_smoke(train_setup, tmp_path):
     assert os.path.exists(os.path.join(cfg2.output.path, "checkpoint_iter_0.pkl"))
     assert os.path.exists(os.path.join(cfg2.output.path, "train_log.pkl"))
     assert get_learning_rate(opt_state) == pytest.approx(cfg2.train.optim.lr)
+
+
+def test_trainval_loop_orbax_backend(train_setup, tmp_path):
+    """cfg.tpu.checkpoint_backend="orbax" routes loop checkpoints to orbax
+    dirs, and the saved checkpoint loads back with intact params."""
+    from os2d_tpu.utils.logger import load_checkpoint
+
+    cfg, dataloader, model_cfg, model, params = train_setup
+    cfg2 = cfg.clone()
+    cfg2.train.optim.max_iter = 1
+    cfg2.eval.iter = 1000
+    cfg2.output.path = str(tmp_path / "out")
+    cfg2.output.save_iter = 1
+    cfg2.tpu.checkpoint_backend = "orbax"
+
+    obj_cfg = ObjectiveConfig()
+    mask = build_trainable_mask(params, cfg2.train)
+    optimizer = create_optimizer(cfg2.train.optim, mask)
+    opt_state = optimizer.init(params)
+
+    new_params, _, _, _ = trainval_loop(
+        dataloader, model, params, cfg2, obj_cfg, optimizer, opt_state,
+        dataloaders_eval=[],
+    )
+    # the final checkpoint (iter == max_iter) must be an orbax dir + pkl stub
+    pkl = os.path.join(cfg2.output.path, "checkpoint_iter_1.pkl")
+    assert os.path.exists(pkl)
+    assert os.path.isdir(os.path.join(cfg2.output.path, "checkpoint_iter_1.orbax"))
+    ckpt = load_checkpoint(pkl)
+    assert ckpt["net"] is not None
+    np.testing.assert_array_equal(
+        np.asarray(ckpt["net"]["backbone"]["conv1"]),
+        np.asarray(new_params["backbone"]["conv1"]),
+    )
