@@ -404,18 +404,49 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     # class counts (~1000) fall back to the per-chunk dispatch path instead of
     # compiling a 60-chunk graph
     fused_class_cap = int(cfg.tpu.eval_class_chunk) * 8
+    viz_cfg = cfg.visualization.eval
     use_fused = (
         use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
         and mesh is None and not quantize_bank  # int8 bank -> chunked path
+        and not viz_cfg.show_class_heatmaps  # heatmaps need raw level scores
         and class_head.class_feats.shape[0] <= fused_class_cap
     )
-    viz_cfg = cfg.visualization.eval
     viz_dir = ""
-    if (viz_cfg.show_detections or viz_cfg.show_gt_boxes) and cfg.output.path:
+    if (viz_cfg.show_detections or viz_cfg.show_gt_boxes
+            or viz_cfg.show_class_heatmaps) and cfg.output.path:
         import os as _os
 
         viz_dir = _os.path.join(cfg.output.path, f"viz_{dataset_name}")
         _os.makedirs(viz_dir, exist_ok=True)
+
+    def _heatmaps(image_id, level_outputs, i_image, img_sizes):
+        """Per-class score heatmaps per pyramid level
+        (reference evaluate.py:122-124; saved to files instead of visdom)."""
+        if not (viz_dir and viz_cfg.show_class_heatmaps and num_views == 1):
+            return
+        want_imgs = list(viz_cfg.images_for_heatmaps)
+        if want_imgs and image_id not in want_imgs:
+            return
+        from ..structures.feature_map import feature_map_size_for_image
+        from ..utils.visualization import show_class_heatmap
+
+        img = np.asarray(
+            dataloader.dataset._get_dataset_image_by_id(image_id), np.float32
+        ) / 255.0
+        want_labels = [int(g) for g in viz_cfg.labels_for_heatmaps] or [
+            int(c) for c in class_ids[:4]
+        ]
+        for i_p, out in enumerate(level_outputs):
+            fm = feature_map_size_for_image(img_sizes[i_p])
+            cls = np.asarray(out["cls"][i_image])  # [C, A]
+            for gid in want_labels:
+                if gid not in class_ids:
+                    continue
+                row = class_ids.index(gid)
+                show_class_heatmap(
+                    img, cls[row].reshape(fm.h, fm.w),
+                    save_path=f"{viz_dir}/heatmap_{image_id}_cls{gid}_lvl{i_p}.png",
+                )
 
     def _visualize(image_id, det_boxes, det_scores, det_labels):
         """Config-driven visual debugging (os2d/config.py:230-245)."""
@@ -565,6 +596,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             )
             all_image_ids.append(image_id)
             _visualize(image_id, det_boxes, det_scores, det_labels)
+            _heatmaps(image_id, level_outputs, i_image, img_sizes)
             ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
             gts.append(
                 {

@@ -327,5 +327,22 @@ def mine_hard_patches(dataloader, model, params, cfg, objective_cfg):
             add(mine(pos_loc_all, losses_loc_all), "pos_loc")
             hardnegdata_per_imageid[image_id] = records
 
+            # debug figures (reference train.py:365-366; saved to files)
+            if cfg.visualization.mining.show_mined_patches and cfg.output.path:
+                import os as _os
+
+                from ..utils.visualization import show_mined_patches
+
+                d = _os.path.join(cfg.output.path, "viz_mining")
+                _os.makedirs(d, exist_ok=True)
+                img = np.asarray(
+                    dataloader.dataset._get_dataset_image_by_id(image_id),
+                    np.float32,
+                ) / 255.0
+                show_mined_patches(
+                    img, records,
+                    save_path=_os.path.join(d, f"mined_{image_id}.png"),
+                )
+
     logger.info(f"Hard patch mining finished in {time_since(t_start)}")
     return hardnegdata_per_imageid

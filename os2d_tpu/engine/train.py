@@ -17,6 +17,7 @@ count with padded rows excluded from the loss via ignore targets.
 from __future__ import annotations
 
 import logging
+import os
 import math
 import time
 from functools import partial
@@ -346,6 +347,25 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
     logger = logging.getLogger("OS2D.train")
     t_start = time.time()
     ckpt_backend = str(cfg.tpu.get("checkpoint_backend", "pickle"))
+
+    if (cfg.visualization.train.show_gt_boxes_dataloader and cfg.output.path
+            and len(dataloader_train) > 0):
+        # debug figures of the first training batch's GT boxes
+        # (reference dataloader.py:135; saved to files instead of shown)
+        from ..utils.visualization import show_gt_boxes
+
+        viz_dir = os.path.join(cfg.output.path, "viz_dataloader")
+        os.makedirs(viz_dir, exist_ok=True)
+        batch0 = dataloader_train.get_batch(0)
+        for i in range(len(batch0["images"])):
+            valid = np.asarray(batch0["gt_valid"][i])
+            show_gt_boxes(
+                np.asarray(batch0["images"][i]),
+                np.asarray(batch0["gt_boxes"][i])[valid],
+                labels=np.asarray(batch0["gt_labels"][i])[valid],
+                difficult=np.asarray(batch0["gt_difficult"][i])[valid],
+                save_path=os.path.join(viz_dir, f"gt_batch0_img{i}.png"),
+            )
     full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)

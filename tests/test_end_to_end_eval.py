@@ -207,3 +207,29 @@ def test_eval_saves_detections(synthetic_loader, tmp_path):
                 "gt_boxes_xyxy", "gt_labels", "gt_difficults"):
         assert len(data[key]) == n, key
     assert all(b.shape[1] == 4 for b in data["boxes_xyxy"] if len(b))
+
+
+def test_eval_class_heatmaps(synthetic_loader, tmp_path):
+    """show_class_heatmaps saves per-class per-level score heatmap figures."""
+    import glob
+
+    cfg = get_default_cfg()
+    cfg.eval.mAP_iou_thresholds = [0.5]
+    cfg.tpu.eval_class_chunk = 4
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+    cfg.output.path = str(tmp_path)
+    cfg.visualization.eval.show_class_heatmaps = True
+    cfg.visualization.eval.images_for_heatmaps = [0]
+    cfg.visualization.eval.labels_for_heatmaps = [1]
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    evaluate(synthetic_loader, model, params, cfg)
+
+    figs = glob.glob(str(tmp_path / "viz_*" / "heatmap_0_cls1_lvl*.png"))
+    assert figs, "no heatmap figures saved"
+    # only the requested image/label combination
+    assert not glob.glob(str(tmp_path / "viz_*" / "heatmap_1_*.png"))
+    assert not glob.glob(str(tmp_path / "viz_*" / "heatmap_0_cls0_*.png"))

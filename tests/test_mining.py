@@ -114,3 +114,45 @@ def test_mine_extra_class_images(tmp_path):
     # batches still assemble with the mined collection active
     batch = loader.get_batch(0)
     assert batch["images"].shape[0] == 2
+
+
+def test_mining_saves_patch_figures(tmp_path):
+    """cfg.visualization.mining.show_mined_patches dumps per-image figures."""
+    import glob
+
+    import jax
+    from test_train import make_dataset
+
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.data.dataloader import build_train_dataloader_from_config
+    from os2d_tpu.engine.mining import mine_hard_patches
+    from os2d_tpu.engine.objective import ObjectiveConfig
+    from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+
+    rng = np.random.RandomState(3)
+    dataset = make_dataset(str(tmp_path / "data"), rng)
+
+    cfg = get_default_cfg()
+    cfg.train.batch_size = 2
+    cfg.train.class_batch_size = 4
+    cfg.train.augment.train_patch_width = 320
+    cfg.train.augment.train_patch_height = 320
+    cfg.train.augment.scale_jitter = 1.0
+    cfg.train.augment.jitter_aspect_ratio = 1.0
+    cfg.model.class_image_size = 128
+    cfg.eval.scales_of_image_pyramid = [1.0]
+    cfg.train.mining.num_random_pyramid_scales = 1
+    cfg.train.mining.num_random_negative_classes = 2
+    cfg.train.mining.num_hard_patches_per_image = 2
+    cfg.tpu.eval_class_chunk = 4
+    cfg.output.path = str(tmp_path / "out")
+    cfg.visualization.mining.show_mined_patches = True
+
+    dataloader, _ = build_train_dataloader_from_config(cfg, dataset_train=dataset)
+    model_cfg = Os2dConfig(class_image_size=128)
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(1), model_cfg)
+    mined = mine_hard_patches(dataloader, model, params, cfg, ObjectiveConfig())
+    assert mined
+    figs = glob.glob(str(tmp_path / "out" / "viz_mining" / "mined_*.png"))
+    assert len(figs) == len(mined)
