@@ -181,6 +181,78 @@ class TrainStep:
         )
 
 
+
+def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
+                                         model_cfg, train_cfg, out_dir):
+    """Host-side replay of the jitted step's target encode + remap for one
+    batch, saved as per-(image, label) diagnostic figures (reference
+    train.py:96-97). Debug-only: runs the forward un-jitted once."""
+    from ..utils.visualization import show_target_remapping
+
+    images = batch_arrays["images"]
+    if images.dtype == jnp.uint8:
+        mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
+        std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+        images_n = (images.astype(jnp.float32) / 255.0 - mean) / std
+    else:
+        images_n = images
+    fm = resnet_c4_forward(params["backbone"], images_n, model_cfg.dtype)
+    class_head = build_class_head(
+        resnet_c4_forward(
+            label_backbone_params(params), batch_arrays["class_images"],
+            model_cfg.dtype,
+        )
+    )
+    out = head_forward(
+        params["transform_net"], fm, class_head,
+        simple_affine=model_cfg.use_simplified_affine_model,
+        use_inverse_geom_model=model_cfg.use_inverse_geom_model,
+        train_mode=True, compute_dtype=model_cfg.dtype,
+        resample_precision=model_cfg.resample_precision,
+    )
+    obj = train_cfg.objective
+    _, cls_t = jax.vmap(
+        partial(
+            encode_targets_single_image,
+            num_labels=num_classes,
+            positive_iou_threshold=obj.positive_iou_threshold,
+            negative_iou_threshold=obj.negative_iou_threshold,
+        ),
+        in_axes=(0, 0, 0, 0, None),
+    )(batch_arrays["gt_boxes"], batch_arrays["gt_labels"],
+      batch_arrays["gt_difficult"], batch_arrays["gt_valid"],
+      batch_arrays["default_boxes"])
+    cls_remapped, _, _ = remap_targets(
+        out["loc"], batch_arrays["gt_boxes"], batch_arrays["gt_labels"],
+        batch_arrays["gt_difficult"], batch_arrays["gt_valid"],
+        batch_arrays["default_boxes"],
+        remap_iou_pos=obj.remap_classification_targets_iou_pos,
+        remap_iou_neg=obj.remap_classification_targets_iou_neg,
+    )
+    fm_h, fm_w = fm.shape[1], fm.shape[2]
+    os.makedirs(out_dir, exist_ok=True)
+    class_valid = np.asarray(batch_arrays["class_valid"])
+    cls_scores = np.asarray(out["cls"])
+    cls_t = np.asarray(cls_t)
+    cls_remapped = np.asarray(cls_remapped)
+    saved = []
+    for i in range(cls_scores.shape[0]):
+        for l in range(cls_scores.shape[1]):
+            if not class_valid[l]:
+                continue
+            # only labels with a positive target somewhere are interesting
+            if not (cls_t[i, l] == 1).any():
+                continue
+            saved.append(show_target_remapping(
+                np.asarray(images[i]),
+                cls_scores[i, l].reshape(fm_h, fm_w),
+                cls_t[i, l].reshape(fm_h, fm_w),
+                cls_remapped[i, l].reshape(fm_h, fm_w),
+                save_path=os.path.join(out_dir, f"remap_img{i}_lbl{l}.png"),
+            ))
+    return saved
+
+
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
@@ -366,6 +438,14 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 difficult=np.asarray(batch0["gt_difficult"][i])[valid],
                 save_path=os.path.join(viz_dir, f"gt_batch0_img{i}.png"),
             )
+
+    if (cfg.visualization.train.show_target_remapping and cfg.output.path
+            and len(dataloader_train) > 0):
+        batch_arrays, n_cls = prepare_batch_arrays(dataloader_train.get_batch(0))
+        visualize_target_remapping_for_batch(
+            batch_arrays, n_cls, params, model.config, cfg.train,
+            os.path.join(cfg.output.path, "viz_remapping"),
+        )
     full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)

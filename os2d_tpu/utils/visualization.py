@@ -162,3 +162,30 @@ def plot_train_log(full_log: dict, save_path=None, x_axis="iter"):
         plt.close(fig)
         return save_path
     return fig
+
+
+def show_target_remapping(image, cls_scores_fm, targets_fm, remapped_fm,
+                          save_path=None):
+    """Classification targets before vs after remapping on predicted boxes,
+    next to the raw scores (reference os2d/utils/visualization.py:85-137;
+    the gradient panel is not reproduced — this is a file-saved diagnostic,
+    not a visdom session)."""
+    fig, axes = plt.subplots(1, 4, figsize=(24, 6))
+    axes[0].imshow(_unnormalize(image))
+    axes[0].set_title("image")
+    for ax, fm, title in (
+        (axes[1], cls_scores_fm, "scores"),
+        (axes[2], targets_fm, "targets (IoU vs anchors)"),
+        (axes[3], remapped_fm, "targets remapped (IoU vs predictions)"),
+    ):
+        im = ax.imshow(np.asarray(fm, np.float32), vmin=-1, vmax=1,
+                       cmap="coolwarm")
+        ax.set_title(title)
+        fig.colorbar(im, ax=ax)
+    for ax in axes:
+        ax.axis("off")
+    if save_path:
+        fig.savefig(save_path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        return save_path
+    return fig

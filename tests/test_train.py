@@ -224,3 +224,27 @@ def test_trainval_loop_gt_boxes_dataloader_figs(train_setup, tmp_path):
     )
     figs = glob.glob(str(tmp_path / "out" / "viz_dataloader" / "gt_batch0_*.png"))
     assert len(figs) == cfg2.train.batch_size
+
+
+def test_trainval_loop_target_remapping_figs(train_setup, tmp_path):
+    """show_target_remapping saves per-(image, positive-label) diagnostics."""
+    import glob
+
+    cfg, dataloader, model_cfg, model, params = train_setup
+    cfg2 = cfg.clone()
+    cfg2.train.optim.max_iter = 1
+    cfg2.eval.iter = 1000
+    cfg2.output.path = str(tmp_path / "out")
+    cfg2.output.save_iter = 1000
+    cfg2.visualization.train.show_target_remapping = True
+
+    obj_cfg = ObjectiveConfig()
+    mask = build_trainable_mask(params, cfg2.train)
+    optimizer = create_optimizer(cfg2.train.optim, mask)
+    opt_state = optimizer.init(params)
+    trainval_loop(
+        dataloader, model, params, cfg2, obj_cfg, optimizer, opt_state,
+        dataloaders_eval=[],
+    )
+    figs = glob.glob(str(tmp_path / "out" / "viz_remapping" / "remap_*.png"))
+    assert figs, "no remapping figures saved"
