@@ -63,6 +63,7 @@ def build_model_from_config(cfg, logger):
         normalization_mean=tuple(cfg.model.normalization_mean),
         normalization_std=tuple(cfg.model.normalization_std),
         compute_dtype=cfg.tpu.compute_dtype,
+        resample_precision=cfg.tpu.get("resample_precision", "high"),
     )
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(cfg.random_seed), model_cfg)
@@ -153,10 +154,28 @@ def main():
         full_log = ckpt.get("full_log")
         logger.info(f"Resuming from {cfg.tpu.resume} at iter {start_iter}")
 
+    # device mesh: data-parallel training + class-sharded eval
+    # (cfg.tpu.mesh_data_axis: -1 = all devices, 0/1 = single-device, n = n chips)
+    mesh = None
+    mesh_axis = int(cfg.tpu.mesh_data_axis)
+    if mesh_axis != 0 and mesh_axis != 1:
+        from os2d_tpu.parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        want = n_dev if mesh_axis < 0 else mesh_axis
+        if want > 1 and n_dev >= want:
+            mesh = make_mesh(want)
+            logger.info(f"Using a {want}-device mesh for training/eval")
+        elif want > n_dev:
+            logger.warning(
+                f"cfg.tpu.mesh_data_axis={mesh_axis} requests {want} devices "
+                f"but only {n_dev} are visible; running single-device"
+            )
+
     trainval_loop(
         dataloader_train, model, params, cfg, objective_cfg, optimizer,
         opt_state, dataloaders_eval=dataloaders_eval, start_iter=start_iter,
-        full_log=full_log,
+        full_log=full_log, mesh=mesh,
     )
 
 

@@ -238,6 +238,8 @@ def get_default_cfg() -> ConfigNode:
         # --- TPU-native additions ---
         tpu=_cn(
             compute_dtype="float32",  # "float32" | "bfloat16"
+            resample_precision="high",  # matmul precision of the resample op:
+                                        # "highest" (fp32-exact) | "high" | "default"
             eval_class_chunk=16,      # classes per head call at eval
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS

@@ -136,6 +136,12 @@ class DataloaderOneShotDetection:
                  logger_prefix="OS2D"):
         self.logger = logging.getLogger(f"{logger_prefix}.dataloader")
         self.dataset = dataset
+        # per-instance RNG for batch-level draws (shuffle order, label
+        # sampling, batch flips): seeded once from the global stream (so
+        # set_random_seed still controls it) but hermetic afterwards — other
+        # consumers of the global RNG can't perturb batch composition
+        self._rng = random.Random(random.getrandbits(64))
+        self._np_rng = np.random.RandomState(self._rng.getrandbits(32))
         self.img_normalization = img_normalization or {"mean": IMG_MEAN, "std": IMG_STD}
         self.gt_image_size = gt_image_size
         self.hardnegdata_per_imageid = None
@@ -198,10 +204,10 @@ class DataloaderOneShotDetection:
         ]
 
     def shuffle(self, shuffle_buckets=True):
-        random.shuffle(self.bucket_order)
+        self._rng.shuffle(self.bucket_order)
         if shuffle_buckets:
             for bucket in self.buckets:
-                random.shuffle(bucket)
+                self._rng.shuffle(bucket)
 
     def __len__(self):
         return self.num_batches
@@ -233,7 +239,7 @@ class DataloaderOneShotDetection:
             for class_id in class_ids:
                 collection = getattr(self, "label_image_collection", {}).get(class_id)
                 if collection:
-                    pick = random.randint(0, len(collection))
+                    pick = self._rng.randint(0, len(collection))
                     img = (
                         self.dataset.gt_images_per_classid[class_id]
                         if pick == 0
@@ -407,7 +413,7 @@ class DataloaderOneShotDetection:
                 filtered = [d for d in cands if d["role"][: len(role)] == role]
                 if not filtered:
                     filtered = cands
-                mined_data[image_id] = filtered[random.randrange(len(filtered))]
+                mined_data[image_id] = filtered[self._rng.randrange(len(filtered))]
 
         batch_frame = self.dataset.get_dataframe_for_image_ids(image_ids)
         if not use_all_labels:
@@ -419,7 +425,7 @@ class DataloaderOneShotDetection:
                 else class_ids.size + len(mined_labels) + 1
             )
             class_ids = np.unique(class_ids)
-            np.random.shuffle(class_ids)
+            self._np_rng.shuffle(class_ids)
             class_ids = class_ids[: max_batch_labels - len(mined_labels)]
             class_ids = np.unique(
                 np.concatenate(
@@ -432,10 +438,10 @@ class DataloaderOneShotDetection:
 
         if self.data_augmentation is not None:
             batch_vflip = (
-                random.random() < 0.5 if self.data_augmentation.batch_random_vflip else False
+                self._rng.random() < 0.5 if self.data_augmentation.batch_random_vflip else False
             )
             batch_hflip = (
-                random.random() < 0.5 if self.data_augmentation.batch_random_hflip else False
+                self._rng.random() < 0.5 if self.data_augmentation.batch_random_hflip else False
             )
         else:
             batch_vflip = batch_hflip = False
@@ -579,7 +585,7 @@ class DataloaderOneShotDetection:
                     lo = min(self.pyramid_scales_eval)
                     hi = max(self.pyramid_scales_eval)
                     pyramid_scales = [
-                        random.uniform(lo, hi) for _ in range(num_random_pyramid_scales)
+                        self._rng.uniform(lo, hi) for _ in range(num_random_pyramid_scales)
                     ]
 
                 per_image_pyramids = []

@@ -166,21 +166,37 @@ class Evaluator:
         return outputs
 
     # ---- fused single-dispatch detection ----
-    def detect_single_image(self, params, image_u8, class_head: ClassHead,
+    def detect_single_image(self, params, image_u8, class_head,
                             level_sizes, inverse_scales, img_normalization,
                             num_views: int = 1):
         """ONE jitted program per signature: uint8 image in -> top-K detections
         out. Builds the normalized pyramid, runs the backbone + head over all
         levels and class chunks, and decodes + NMS-es on device — a single
         host->device dispatch per image (the per-level/per-chunk dispatch
-        chain costs real latency over a remote-device tunnel)."""
+        chain costs real latency over a remote-device tunnel).
+
+        Class chunks run under lax.scan (not a Python unroll), so the compiled
+        program size is independent of the class count — grozi-scale C~1000
+        uses the same program as C=16. Accepts an int8 QuantizedClassHead: the
+        bank stays int8 in HBM and each chunk dequantizes inside the scan
+        body. With a mesh, the chunk's class axis shards over the mesh (each
+        chip correlates against its slice of every chunk; the TPU replacement
+        for the reference's serial per-class loop, evaluate.py:226-331)."""
+        from ..models.head import QuantizedClassHead
+
+        quantized = isinstance(class_head, QuantizedClassHead)
+        feats_bank = (
+            class_head.class_feats_q if quantized else class_head.class_feats
+        )
         key = (
             "detect",
             image_u8.shape,
             tuple(level_sizes),
             tuple(tuple(s) for s in inverse_scales),
-            class_head.class_feats.shape,
+            feats_bank.shape,
             num_views,
+            quantized,
+            None if self.mesh is None else self.mesh.devices.size,
         )
         if key not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
@@ -189,7 +205,11 @@ class Evaluator:
             model = self.model
             cfg = self.cfg
             chunk = int(cfg.tpu.eval_class_chunk)
-            c_total = class_head.class_feats.shape[0]
+            if self.mesh is not None:
+                # keep every chip busy within a chunk
+                n_dev = self.mesh.devices.size
+                chunk = ((max(chunk, n_dev) + n_dev - 1) // n_dev) * n_dev
+            c_total = feats_bank.shape[0]
             n_chunks = (c_total + chunk - 1) // chunk
             c_pad = n_chunks * chunk
             mean = jnp.asarray(img_normalization["mean"], jnp.float32)
@@ -197,19 +217,35 @@ class Evaluator:
             sizes = list(level_sizes)
             scales = [tuple(s) for s in inverse_scales]
 
+            def _pad_c(x):
+                if c_pad == c_total:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.zeros((c_pad - c_total,) + x.shape[1:], x.dtype)]
+                )
+
             @jax.jit
-            def detect(params, image_u8, class_feats, pool_mask):
+            def detect(params, image_u8, class_feats, q_scales, pool_mask):
                 img = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
-                if c_pad != c_total:
-                    pad = c_pad - c_total
-                    class_feats = jnp.concatenate(
-                        [class_feats,
-                         jnp.zeros((pad,) + class_feats.shape[1:], class_feats.dtype)]
-                    )
-                    pool_mask = jnp.concatenate(
-                        [pool_mask,
-                         jnp.zeros((pad,) + pool_mask.shape[1:], pool_mask.dtype)]
-                    )
+                feats_r = _pad_c(class_feats).reshape(
+                    (n_chunks, chunk) + class_feats.shape[1:]
+                )
+                mask_r = _pad_c(pool_mask).reshape(
+                    (n_chunks, chunk) + pool_mask.shape[1:]
+                )
+                if quantized:
+                    qs = jnp.concatenate(
+                        [q_scales, jnp.ones((c_pad - c_total,), q_scales.dtype)]
+                    ) if c_pad != c_total else q_scales
+                    qs_r = qs.reshape(n_chunks, chunk)
+                if self.mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+                    from ..parallel.mesh import DATA_AXIS
+
+                    shard = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                    feats_r = jax.lax.with_sharding_constraint(feats_r, shard)
+                    mask_r = jax.lax.with_sharding_constraint(mask_r, shard)
+
                 loc_p, cls_p = [], []
                 for sz in sizes:
                     if (sz.h, sz.w) == image_u8.shape[:2]:
@@ -221,22 +257,33 @@ class Evaluator:
                     fm = resnet_c4_forward(
                         params["backbone"], lvl, model.config.dtype
                     )
-                    locs, clss = [], []
-                    for start in range(0, c_pad, chunk):
+
+                    def chunk_body(_, chunk_in):
+                        if quantized:
+                            feats_i, scales_i, mask_i = chunk_in
+                            feats_i = feats_i.astype(jnp.float32) * scales_i[
+                                :, None, None, None
+                            ]
+                        else:
+                            feats_i, mask_i = chunk_in
                         out = head_forward(
                             params["transform_net"], fm,
-                            ClassHead(class_feats[start:start + chunk],
-                                      pool_mask[start:start + chunk]),
+                            ClassHead(feats_i, mask_i),
                             simple_affine=model.config.use_simplified_affine_model,
                             use_inverse_geom_model=model.config.use_inverse_geom_model,
                             train_mode=False,
                             compute_dtype=model.config.dtype,
                             resample_precision=model.config.resample_precision,
                         )
-                        locs.append(out["loc"][0])
-                        clss.append(out["cls"][0])
-                    loc_p.append(jnp.concatenate(locs, axis=0)[:c_total])
-                    cls_p.append(jnp.concatenate(clss, axis=0)[:c_total])
+                        return None, (out["loc"][0], out["cls"][0])
+
+                    xs = (
+                        (feats_r, qs_r, mask_r) if quantized
+                        else (feats_r, mask_r)
+                    )
+                    _, (locs, clss) = jax.lax.scan(chunk_body, None, xs)
+                    loc_p.append(locs.reshape((c_pad,) + locs.shape[2:])[:c_total])
+                    cls_p.append(clss.reshape((c_pad,) + clss.shape[2:])[:c_total])
 
                 if num_views > 1:
                     loc_p = [l[v::num_views] for l in loc_p for v in range(num_views)]
@@ -255,10 +302,14 @@ class Evaluator:
                 )
 
             self._decode_cache[key] = detect
-        return self._decode_cache[key](
-            params, jnp.asarray(image_u8), class_head.class_feats,
-            class_head.pool_mask,
-        )
+        q_scales = class_head.scales if quantized else jnp.zeros((0,), jnp.float32)
+        fn = self._decode_cache[key]
+        if self.mesh is not None:
+            with self.mesh:
+                return fn(params, jnp.asarray(image_u8), feats_bank, q_scales,
+                          class_head.pool_mask)
+        return fn(params, jnp.asarray(image_u8), feats_bank, q_scales,
+                  class_head.pool_mask)
 
     # ---- decoding ----
     def decode_image(self, level_outputs, image_index: int,
@@ -307,10 +358,15 @@ class Evaluator:
 
 def compute_eval_losses_for_image(level_outputs, image_index, dataloader,
                                   image_id, img_sizes, inverse_scales,
-                                  objective_cfg, cfg):
+                                  objective_cfg, cfg, num_views: int = 1):
     """Loss metrics on eval data (os2d/engine/evaluate.py:99-135): encode GT
     per pyramid level against inverse-transformed default boxes (original
-    coordinates), remap, and run the objective."""
+    coordinates), remap, and run the objective.
+
+    Under class TTA the score rows are (class, view) pairs; like the
+    reference (evaluate.py:293, first-match local mapping), GT positives land
+    on each class's view-0 row and the other view rows are treated as extra
+    negative labels."""
     from .decode import default_boxes_for_image_size
     from .objective import compute_objective
     from .targets import encode_targets_single_image, remap_targets
@@ -320,6 +376,8 @@ def compute_eval_losses_for_image(level_outputs, image_index, dataloader,
     local = dataloader.convert_label_ids_global_to_local(
         ann.get_field("labels"), class_ids
     )
+    if num_views > 1:
+        local = [l * num_views for l in local]
     g = max(8, len(ann))
     gt_boxes = np.zeros((g, 4), np.float32)
     gt_labels = np.full((g,), -1, np.int32)
@@ -400,17 +458,30 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         class_head = quantize_class_head(class_head)
 
     use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
-    # the fused program unrolls class chunks; cap the unroll so grozi-scale
-    # class counts (~1000) fall back to the per-chunk dispatch path instead of
-    # compiling a 60-chunk graph
-    fused_class_cap = int(cfg.tpu.eval_class_chunk) * 8
     viz_cfg = cfg.visualization.eval
-    use_fused = (
-        use_device_pyramid and cfg.eval.batch_size == 1 and criterion is None
-        and mesh is None and not quantize_bank  # int8 bank -> chunked path
-        and not viz_cfg.show_class_heatmaps  # heatmaps need raw level scores
-        and class_head.class_feats.shape[0] <= fused_class_cap
-    )
+    # TWO eval paths (the fused one scans class chunks on device, so class
+    # count / int8 bank / mesh no longer force the slow path):
+    #   fused:   one jitted dispatch per image (uint8 in -> detections out)
+    #   chunked: per-level, per-chunk dispatches; needed when raw level scores
+    #            must come back to the host (loss metrics, heatmaps) or images
+    #            batch together (batch_size > 1)
+    fused_blockers = []
+    if not use_device_pyramid:
+        fused_blockers.append("cfg.tpu.device_side_pyramid=False")
+    if cfg.eval.batch_size != 1:
+        fused_blockers.append(f"eval.batch_size={cfg.eval.batch_size} (>1)")
+    if criterion is not None:
+        fused_blockers.append("eval loss metrics requested (criterion)")
+    if viz_cfg.show_class_heatmaps:
+        fused_blockers.append("show_class_heatmaps needs raw level scores")
+    use_fused = not fused_blockers
+    if use_fused:
+        logger.info("eval path: fused single-dispatch")
+    else:
+        logger.info(
+            "eval path: chunked per-level (fused blocked by: "
+            + "; ".join(fused_blockers) + ")"
+        )
     viz_dir = ""
     if (viz_cfg.show_detections or viz_cfg.show_gt_boxes
             or viz_cfg.show_class_heatmaps) and cfg.output.path:
@@ -553,10 +624,11 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             FeatureMapSize(w=p.shape[2], h=p.shape[1]) for p in pyramids
         ]
         for i_image, image_id in enumerate(batch_ids):
-            if criterion is not None and num_views == 1:
+            if criterion is not None:
                 losses = compute_eval_losses_for_image(
                     level_outputs, i_image, dataloader, image_id, img_sizes,
                     [tuple(s) for s in inverse_scales[i_image]], criterion, cfg,
+                    num_views=num_views,
                 )
                 for k, v in losses.items():
                     loss_sums[k] = loss_sums.get(k, 0.0) + v

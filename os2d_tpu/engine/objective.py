@@ -69,8 +69,13 @@ def compute_objective(
     cls_targets_remapped=None,  # [B, L, A] or None
     cls_preds_for_neg=None,  # [B, L, A] or None
     patch_mining_mode: bool = False,
+    want_per_anchor: bool = False,
 ):
     """Returns (losses dict, per_anchor dict or None).
+
+    `want_per_anchor` returns the per-anchor maps without switching to the
+    mining-mode loss semantics (used by the remapping diagnostics,
+    reference os2d/utils/visualization.py:99-101).
 
     Pyramid inputs should be pre-concatenated along the anchor axis by the
     caller (the reference's merge_pyramids, objective.py:88-105).
@@ -208,7 +213,7 @@ def compute_objective(
     }
 
     per_anchor = None
-    if patch_mining_mode:
+    if patch_mining_mode or want_per_anchor:
         per_anchor = {
             "pos_mask": pos,
             "neg_mask": neg,

@@ -183,10 +183,16 @@ class TrainStep:
 
 
 def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
-                                         model_cfg, train_cfg, out_dir):
+                                         model_cfg, train_cfg, out_dir,
+                                         objective_cfg=None):
     """Host-side replay of the jitted step's target encode + remap for one
     batch, saved as per-(image, label) diagnostic figures (reference
-    train.py:96-97). Debug-only: runs the forward un-jitted once."""
+    train.py:96-97 -> visualization.py:85-137). Debug-only: runs the forward
+    un-jitted once. With `objective_cfg`, the figures include the anchor IoU
+    maps, the per-anchor classification loss, and the loss gradients w.r.t.
+    the score maps (with and without the transform detached) — the reference
+    gets these via torch.autograd.grad; here a jax.grad of the objective
+    w.r.t. the score tensors."""
     from ..utils.visualization import show_target_remapping
 
     images = batch_arrays["images"]
@@ -211,7 +217,7 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
         resample_precision=model_cfg.resample_precision,
     )
     obj = train_cfg.objective
-    _, cls_t = jax.vmap(
+    loc_t, cls_t = jax.vmap(
         partial(
             encode_targets_single_image,
             num_labels=num_classes,
@@ -222,20 +228,51 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
     )(batch_arrays["gt_boxes"], batch_arrays["gt_labels"],
       batch_arrays["gt_difficult"], batch_arrays["gt_valid"],
       batch_arrays["default_boxes"])
-    cls_remapped, _, _ = remap_targets(
+    cls_remapped, ious_anchor, ious_corrected = remap_targets(
         out["loc"], batch_arrays["gt_boxes"], batch_arrays["gt_labels"],
         batch_arrays["gt_difficult"], batch_arrays["gt_valid"],
         batch_arrays["default_boxes"],
         remap_iou_pos=obj.remap_classification_targets_iou_pos,
         remap_iou_neg=obj.remap_classification_targets_iou_neg,
     )
+
+    loss_map = grad_map = grad_det_map = None
+    if objective_cfg is not None:
+        # gradients of the training loss w.r.t. the score maps, targets fixed
+        # (reference visualization.py:92-93 via torch.autograd.grad)
+        cvalid = batch_arrays["class_valid"][None, :, None]
+        cls_t_m = jnp.where(cvalid, cls_t, -1)
+        cls_remapped_m = jnp.where(cvalid, cls_remapped, -1)
+
+        def _loss_of_scores(cls_scores, cls_scores_detached):
+            losses, per_anchor = compute_objective(
+                objective_cfg, out["loc"], loc_t, cls_scores, cls_t_m,
+                cls_targets_remapped=cls_remapped_m,
+                cls_preds_for_neg=cls_scores_detached,
+                want_per_anchor=True,
+            )
+            return losses["loss"], per_anchor
+
+        (_, per_anchor), (grad_map, grad_det_map) = jax.value_and_grad(
+            _loss_of_scores, argnums=(0, 1), has_aux=True
+        )(out["cls"], out["cls_detached"])
+        loss_map = np.asarray(per_anchor["cls_loss"])
+        grad_map = np.asarray(grad_map)
+        grad_det_map = np.asarray(grad_det_map)
+
     fm_h, fm_w = fm.shape[1], fm.shape[2]
     os.makedirs(out_dir, exist_ok=True)
     class_valid = np.asarray(batch_arrays["class_valid"])
     cls_scores = np.asarray(out["cls"])
     cls_t = np.asarray(cls_t)
     cls_remapped = np.asarray(cls_remapped)
+    ious_anchor = np.asarray(ious_anchor)
+    ious_corrected = np.asarray(ious_corrected)
     saved = []
+
+    def _fm(arr, i, l):
+        return None if arr is None else arr[i, l].reshape(fm_h, fm_w)
+
     for i in range(cls_scores.shape[0]):
         for l in range(cls_scores.shape[1]):
             if not class_valid[l]:
@@ -248,9 +285,62 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
                 cls_scores[i, l].reshape(fm_h, fm_w),
                 cls_t[i, l].reshape(fm_h, fm_w),
                 cls_remapped[i, l].reshape(fm_h, fm_w),
+                ious_anchor=_fm(ious_anchor, i, l),
+                ious_corrected=_fm(ious_corrected, i, l),
+                loss_per_anchor=_fm(loss_map, i, l),
+                grad_scores=_fm(grad_map, i, l),
+                grad_scores_detached=_fm(grad_det_map, i, l),
                 save_path=os.path.join(out_dir, f"remap_img{i}_lbl{l}.png"),
             ))
     return saved
+
+
+def dump_nan_reproducer(dump_dir, batch_arrays, params, opt_state, num_classes,
+                        extra=None):
+    """Dump everything needed to replay a non-finite-gradient step.
+
+    Parity with the reference's error_nan_appeared-<ts>.pth dump
+    (os2d/engine/train.py:116-129): batch + weights + optimizer state + extras
+    go to `error_nan_appeared-<ts>.pkl` as plain numpy trees. The reference
+    also saves the gradient tensors; here gradients are recomputed exactly on
+    reload (the dump holds params + the batch, and the jitted step is
+    deterministic), which keeps the hot step free of a full-gradient
+    device->host transfer. Reload with `load_nan_reproducer(path)`.
+    """
+    import datetime
+    import pickle
+
+    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    ts = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    path = os.path.join(dump_dir or ".", f"error_nan_appeared-{ts}.pkl")
+    payload = {
+        "batch_arrays": to_np(batch_arrays),
+        "net": to_np(params),
+        "optimizer": to_np(opt_state),
+        "num_classes": int(num_classes),
+        "extra": extra,
+    }
+    with open(path, "wb") as f:
+        pickle.dump(payload, f)
+    return path
+
+
+def load_nan_reproducer(path):
+    """Load an error_nan_appeared dump back as device arrays.
+
+    Returns a dict with 'batch_arrays', 'net', 'optimizer', 'num_classes';
+    re-run the failing step with:
+        d = load_nan_reproducer(path)
+        train_step(d['net'], d['optimizer'], d['batch_arrays'], d['num_classes'])
+    (matches the reference's reload snippet, os2d/engine/train.py:131-139).
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    for k in ("batch_arrays", "net", "optimizer"):
+        payload[k] = jax.tree_util.tree_map(jnp.asarray, payload[k])
+    return payload
 
 
 def optax_global_norm(tree):
@@ -376,25 +466,44 @@ class BatchPrefetcher:
         self._request.put(None)
 
 
-def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger):
-    """One training iteration (os2d/engine/train.py:47-139)."""
+def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
+                    dump_dir=None, mesh=None):
+    """One training iteration (os2d/engine/train.py:47-139).
+
+    With a `mesh`, the image batch (and per-image GT) shards over the mesh's
+    data axis and params/optimizer state are replicated; XLA inserts the
+    gradient all-reduce over ICI.
+    """
     t_start = time.time()
     arrays, c_pad = prepare_batch_arrays(batch)
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_train_inputs
+
+        params, opt_state, arrays = make_sharded_train_inputs(
+            mesh, params, opt_state, arrays
+        )
     params, opt_state, metrics = train_step(params, opt_state, arrays, c_pad)
     meters = {
         k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
     }
     if not math.isfinite(meters.get("grad_norm", 0.0)):
+        # the jitted step already skipped the update (finite-guard); dump a
+        # reproducer like the reference (os2d/engine/train.py:116-129)
+        dump_path = dump_nan_reproducer(
+            dump_dir, arrays, params, opt_state, c_pad,
+            extra={"meters": meters},
+        )
         logger.error(
-            "gradient is not finite; the update was skipped (reference dumps a "
-            "reproducer here, train.py:116-131)"
+            f"gradient is not finite; the update was skipped. Saved reproducer "
+            f"to {dump_path} — reload with "
+            f"os2d_tpu.engine.train.load_nan_reproducer"
         )
     meters["batch_time"] = time.time() - t_start
     return params, opt_state, meters
 
 
 def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
-                   print_per_class_results=False):
+                   print_per_class_results=False, mesh=None):
     from .evaluate import evaluate
 
     meters_all = {}
@@ -403,22 +512,40 @@ def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
             meters_all[dataloader.get_name()] = evaluate(
                 dataloader, model, params, cfg,
                 print_per_class_results=print_per_class_results,
+                mesh=mesh,
             )
     return meters_all
 
 
 def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                   optimizer, opt_state, dataloaders_eval=(), start_iter=0,
-                  full_log=None):
+                  full_log=None, mesh=None):
     """Main train+val loop (os2d/engine/train.py:400-567).
 
     start_iter/full_log support exact resume from a checkpoint (iteration,
     lr-in-optimizer-state, metric log) — state the reference loses
     (SURVEY.md §5.4).
+
+    With a `mesh` (built in main.py from cfg.tpu.mesh_data_axis), training is
+    data-parallel over the mesh and eval shards the class axis.
     """
     logger = logging.getLogger("OS2D.train")
     t_start = time.time()
     ckpt_backend = str(cfg.tpu.get("checkpoint_backend", "pickle"))
+    if mesh is not None:
+        n_dev = int(mesh.devices.size)
+        if n_dev <= 1:
+            mesh = None
+        elif cfg.train.do_training and cfg.train.batch_size % n_dev:
+            raise ValueError(
+                f"train.batch_size={cfg.train.batch_size} must be divisible "
+                f"by the mesh size {n_dev} for data-parallel training"
+            )
+        else:
+            logger.info(
+                f"Data-parallel training over {n_dev} devices "
+                f"({cfg.train.batch_size // n_dev} images/chip)"
+            )
 
     if (cfg.visualization.train.show_gt_boxes_dataloader and cfg.output.path
             and len(dataloader_train) > 0):
@@ -445,6 +572,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         visualize_target_remapping_for_batch(
             batch_arrays, n_cls, params, model.config, cfg.train,
             os.path.join(cfg.output.path, "viz_remapping"),
+            objective_cfg=objective_cfg,
         )
     full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
@@ -461,7 +589,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                                   initial_steps=start_iter // max(cfg.eval.iter, 1))
 
         meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
-                                     criterion=objective_cfg)
+                                     criterion=objective_cfg, mesh=mesh)
 
         if cfg.output.best_model.do_get_best_model:
             best_model_dataset_name = (
@@ -541,7 +669,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             num_steps_for_logging += 1
 
             params, opt_state, meters = train_one_batch(
-                batch, params, opt_state, train_step, logger
+                batch, params, opt_state, train_step, logger,
+                dump_dir=cfg.output.path or None, mesh=mesh,
             )
             meters["loading_time"] = loading_time
             if i_iter % cfg.output.print_iter == 0:
@@ -550,7 +679,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
 
             if (i_iter + 1) % cfg.eval.iter == 0:
                 meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
-                                             criterion=objective_cfg)
+                                             criterion=objective_cfg, mesh=mesh)
 
                 if cfg.output.best_model.do_get_best_model:
                     cur_metric = meters_eval[best_model_dataset_name][
@@ -614,7 +743,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
 
     logger.info("Final evaluation")
     meters_eval = evaluate_model(
-        dataloaders_eval, model, params, cfg, print_per_class_results=True
+        dataloaders_eval, model, params, cfg, print_per_class_results=True,
+        mesh=mesh,
     )
     if cfg.train.optim.max_iter > 0 and cfg.train.do_training:
         log_meters(full_log, t_start, cfg.train.optim.max_iter, cfg.output.path,

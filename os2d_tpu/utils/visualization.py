@@ -165,22 +165,48 @@ def plot_train_log(full_log: dict, save_path=None, x_axis="iter"):
 
 
 def show_target_remapping(image, cls_scores_fm, targets_fm, remapped_fm,
-                          save_path=None):
-    """Classification targets before vs after remapping on predicted boxes,
-    next to the raw scores (reference os2d/utils/visualization.py:85-137;
-    the gradient panel is not reproduced — this is a file-saved diagnostic,
-    not a visdom session)."""
-    fig, axes = plt.subplots(1, 4, figsize=(24, 6))
+                          ious_anchor=None, ious_corrected=None,
+                          loss_per_anchor=None, grad_scores=None,
+                          grad_scores_detached=None, save_path=None):
+    """Target-remapping diagnostics for one (image, label) pair (reference
+    os2d/utils/visualization.py:85-137, saved to a file instead of shown):
+    targets before/after remapping, anchor IoUs before/after correction by
+    the predicted boxes, raw scores, per-anchor classification loss, and the
+    loss gradients w.r.t. the score map (with / without the transform
+    detached)."""
+    extra = [
+        (ious_anchor, "IoUs of anchors", dict(vmin=0, vmax=1, cmap="viridis")),
+        (ious_corrected, "IoUs of remapped anchors",
+         dict(vmin=0, vmax=1, cmap="viridis")),
+        (loss_per_anchor, "cls loss per anchor", dict(cmap="magma")),
+        (grad_scores, "dLoss/dScores", dict(cmap="coolwarm")),
+        (grad_scores_detached, "dLoss/dScores (transform detached)",
+         dict(cmap="coolwarm")),
+    ]
+    extra = [(fm, t, kw) for fm, t, kw in extra if fm is not None]
+    n = 4 + len(extra)
+    ncols = min(n, 5)
+    nrows = (n + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(6 * ncols, 6 * nrows))
+    axes = np.atleast_1d(axes).ravel()
     axes[0].imshow(_unnormalize(image))
     axes[0].set_title("image")
-    for ax, fm, title in (
-        (axes[1], cls_scores_fm, "scores"),
-        (axes[2], targets_fm, "targets (IoU vs anchors)"),
-        (axes[3], remapped_fm, "targets remapped (IoU vs predictions)"),
-    ):
-        im = ax.imshow(np.asarray(fm, np.float32), vmin=-1, vmax=1,
-                       cmap="coolwarm")
-        ax.set_title(title)
+    panels = [
+        (cls_scores_fm, "scores", dict(vmin=-1, vmax=1, cmap="coolwarm")),
+        (targets_fm, "targets (IoU vs anchors)",
+         dict(vmin=-1, vmax=1, cmap="coolwarm")),
+        (remapped_fm, "targets remapped (IoU vs predictions)",
+         dict(vmin=-1, vmax=1, cmap="coolwarm")),
+    ] + extra
+    for ax, (fm, title, kwargs) in zip(axes[1:], panels):
+        data = np.asarray(fm, np.float32)
+        if "vmin" not in kwargs:  # symmetric scale for gradients/losses
+            amax = float(np.abs(data).max()) or 1.0
+            if kwargs.get("cmap") == "coolwarm":
+                kwargs = dict(kwargs, vmin=-amax, vmax=amax)
+        im = ax.imshow(data, **kwargs)
+        ax.set_title(f"{title}\nmin {data.min():0.3g} max {data.max():0.3g}",
+                     fontsize=9)
         fig.colorbar(im, ax=ax)
     for ax in axes:
         ax.axis("off")
