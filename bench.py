@@ -5,7 +5,13 @@ Workload: 1280x960 input images, the full 7-scale image pyramid
 backbone + head + on-device decode/NMS per image — i.e. the reference's
 headline multiscale eval (README.md:84-88 protocol) on synthetic data.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Robustness (VERDICT r1 item 9): the timed section runs N_PASSES passes over
+the image set and reports the MEDIAN pass throughput (the axon host<->device
+tunnel has documented +-30% hour-scale bandwidth variance, BENCH_NOTES.md);
+per-pass numbers, a device-resident compute-only throughput (isolating tunnel
+transfer from compute), and an MFU estimate are emitted alongside.
 
 vs_baseline: the reference publishes NO throughput numbers (BASELINE.md). The
 V100 reference estimate of 2.0 images/sec for this exact workload is derived
@@ -21,12 +27,18 @@ import time
 
 import numpy as np
 
-V100_BASELINE_IMAGES_PER_SEC = 2.0
+V100_BASELINE_IMAGES_PER_SEC = 2.0  # estimate, see BENCH_NOTES.md
 
 IMG_W, IMG_H = 1280, 960
 PYRAMID = [0.5, 0.625, 0.8, 1, 1.2, 1.4, 1.6]
 NUM_CLASSES = 16
-NUM_IMAGES = 8  # timed images (after warmup)
+NUM_IMAGES = 8   # images per timed pass
+N_PASSES = 5     # median over passes (tunnel variance)
+
+# Useful model math per image at this protocol (BENCH_NOTES.md FLOP
+# accounting): backbone ~0.6 TFLOP + correlation ~1.3 TFLOP + TN ~0.23 TFLOP.
+USEFUL_TFLOP_PER_IMAGE = 2.1
+PEAK_BF16_TFLOPS = 197.0  # v5e chip
 
 
 def main():
@@ -40,23 +52,23 @@ def main():
     from os2d_tpu.config import get_default_cfg
     from os2d_tpu.engine.evaluate import Evaluator
     from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
-    from os2d_tpu.models.head import ClassHead
     from os2d_tpu.structures.feature_map import FeatureMapSize
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
-    import os as _os
-
     cfg = get_default_cfg()
     cfg.tpu.eval_class_chunk = NUM_CLASSES
-    # fp32 is both the parity mode AND the fastest here: this workload is
-    # resample/einsum-bound with fp32 'high'-precision MXU passes; bf16 convs
-    # only add conversion traffic (measured 1.9 vs 3.0 img/s)
     model_cfg = Os2dConfig(
-        compute_dtype=_os.environ.get("OS2D_BENCH_DTYPE", "float32")
+        compute_dtype=os.environ.get("OS2D_BENCH_DTYPE", "float32"),
+        resample_precision=os.environ.get("OS2D_BENCH_RESAMPLE_PRECISION",
+                                          "default"),
     )
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    if os.environ.get("OS2D_BENCH_FOLD_BN"):
+        from os2d_tpu.models.os2d import fold_inference_params
+
+        params = fold_inference_params(params)
 
     rng = np.random.RandomState(0)
     class_images = [
@@ -77,50 +89,91 @@ def main():
     img_norm = {"mean": model_cfg.normalization_mean,
                 "std": model_cfg.normalization_std}
 
+    from os2d_tpu.engine.evaluate import unpack_detections
+
     def run_one_image(image_u8):
-        # ONE dispatch: uint8 image -> fused pyramid/backbone/head/decode
+        # ONE dispatch: uint8 image -> fused pyramid/backbone/head/decode,
+        # ONE packed download (the device->host transfer IS the pipeline
+        # boundary; block_until_ready is unreliable on the axon tunnel)
         det = evaluator.detect_single_image(
             params, image_u8, class_head, level_sizes, inverse_scales, img_norm
         )
-        # force the device->host transfer of the detections: that is the real
-        # pipeline boundary, and block_until_ready is unreliable on the axon
-        # tunnel platform (returns before execution completes)
-        return {k: np.asarray(v) for k, v in det.items()}
+        return unpack_detections(det)
 
-    def make_pyramid(seed):
+    def make_image(seed):
         r = np.random.RandomState(seed)
         return r.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
 
     # warmup (compilation)
     t0 = time.time()
-    det = run_one_image(make_pyramid(123))
+    run_one_image(make_image(123))
     warmup_s = time.time() - t0
     print(f"warmup (compile) took {warmup_s:.1f}s", file=sys.stderr)
 
-    # timed (set OS2D_PROFILE_DIR to capture an xprof trace)
+    images = [make_image(i) for i in range(NUM_IMAGES)]
+
     from os2d_tpu.utils.profiling import maybe_trace_from_env
 
-    pyramids = [make_pyramid(i) for i in range(NUM_IMAGES)]
-    t0 = time.time()
+    pass_rates = []
     with maybe_trace_from_env():
-        for p in pyramids:
-            det = run_one_image(p)
-    elapsed = time.time() - t0
-    images_per_sec = NUM_IMAGES / elapsed
+        for i_pass in range(N_PASSES):
+            t0 = time.time()
+            # double-buffer: upload image i+1 while image i computes (the
+            # axon tunnel upload is ~120 ms/image and otherwise serializes
+            # with compute — measured compute-only 5.2 vs end-to-end 3.2)
+            dev = jax.device_put(images[0])
+            for i in range(NUM_IMAGES):
+                det = evaluator.detect_single_image(
+                    params, dev, class_head, level_sizes, inverse_scales,
+                    img_norm,
+                )
+                if i + 1 < NUM_IMAGES:
+                    dev = jax.device_put(images[i + 1])
+                np.asarray(det)  # block on the packed result
+            dt = time.time() - t0
+            pass_rates.append(NUM_IMAGES / dt)
+            print(f"pass {i_pass}: {pass_rates[-1]:.3f} img/s", file=sys.stderr)
+    median_rate = float(np.median(pass_rates))
+
+    # compute-only: images pre-staged on device, isolating the uint8 upload
+    # (the axon tunnel) from on-chip compute + detection download
+    dev_images = [jax.device_put(img) for img in images]
+    np.asarray(dev_images[-1][0, 0])  # sync the uploads
+    compute_rates = []
+    for _ in range(3):
+        t0 = time.time()
+        for img in dev_images:
+            run_one_image(img)
+        compute_rates.append(NUM_IMAGES / (time.time() - t0))
+    compute_rate = float(np.median(compute_rates))
+
+    mfu_pct = median_rate * USEFUL_TFLOP_PER_IMAGE / PEAK_BF16_TFLOPS * 100.0
 
     print(
-        f"{NUM_IMAGES} images in {elapsed:.2f}s -> {images_per_sec:.3f} img/s",
+        f"median {median_rate:.3f} img/s over {N_PASSES} passes "
+        f"(spread {min(pass_rates):.3f}-{max(pass_rates):.3f}); "
+        f"compute-only {compute_rate:.3f} img/s; MFU ~{mfu_pct:.2f}% of bf16 peak",
         file=sys.stderr,
     )
     print(
         json.dumps(
             {
                 "metric": "eval_images_per_sec_1280px_7scale_16cls",
-                "value": round(images_per_sec, 4),
+                "value": round(median_rate, 4),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(
-                    images_per_sec / V100_BASELINE_IMAGES_PER_SEC, 4
+                    median_rate / V100_BASELINE_IMAGES_PER_SEC, 4
                 ),
+                "passes": [round(r, 4) for r in pass_rates],
+                "compute_only_images_per_sec": round(compute_rate, 4),
+                "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
+                "baseline_denominator": {
+                    "images_per_sec": V100_BASELINE_IMAGES_PER_SEC,
+                    "kind": "estimate",
+                    "source": "BENCH_NOTES.md: derived from the reference's "
+                              "published resample micro-benchmark + FLOP "
+                              "counts; rounded UP in the reference's favor",
+                },
             }
         )
     )

@@ -13,6 +13,25 @@ import copy
 from typing import Any, List
 
 
+# Reference-compat keys that are accepted (so reference YAMLs stay portable,
+# os2d/config.py:11) but have no effect on TPU: device placement is JAX's.
+# Overriding one gets a one-time warning instead of silently doing nothing.
+_INERT_COMPAT_KEYS = {"is_cuda"}
+_warned_inert: set = set()
+
+
+def _warn_if_inert(full_key: str):
+    if full_key in _INERT_COMPAT_KEYS and full_key not in _warned_inert:
+        import warnings
+
+        _warned_inert.add(full_key)
+        warnings.warn(
+            f"Config key '{full_key}' is accepted for reference compatibility "
+            f"but has no effect in os2d_tpu (device choice is JAX's).",
+            stacklevel=3,
+        )
+
+
 class ConfigNode(dict):
     """Nested attribute-dict with yacs-like merge/override semantics."""
 
@@ -38,6 +57,7 @@ class ConfigNode(dict):
                     raise TypeError(f"Cannot override subtree {full} with a value")
                 self[k].merge_from_dict(v, full)
             else:
+                _warn_if_inert(full)
                 self[k] = _coerce(v, self[k], full)
 
     def merge_from_file(self, path: str):
@@ -58,6 +78,7 @@ class ConfigNode(dict):
             leaf = parts[-1]
             if leaf not in node:
                 raise KeyError(f"Unknown config key: {key}")
+            _warn_if_inert(key)
             if isinstance(value, str):
                 try:
                     value = ast.literal_eval(value)
@@ -238,8 +259,11 @@ def get_default_cfg() -> ConfigNode:
         # --- TPU-native additions ---
         tpu=_cn(
             compute_dtype="float32",  # "float32" | "bfloat16"
-            resample_precision="high",  # matmul precision of the resample op:
+            resample_precision="default",  # matmul precision of the resample op:
                                         # "highest" (fp32-exact) | "high" | "default"
+                                        # 'default' validated mAP-neutral by
+                                        # tools/map_sensitivity.py (r2): dmAP
+                                        # +0.0000, score delta mean 3e-4
             eval_class_chunk=16,      # classes per head call at eval
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS

@@ -32,6 +32,17 @@ from ..structures.feature_map import FeatureMapSize
 from .decode import decode_pyramid
 
 
+def unpack_detections(packed) -> Dict[str, np.ndarray]:
+    """Unpack the [G, K, 6] array returned by `Evaluator.detect_single_image`
+    (one device->host transfer) into {boxes, scores, valid} numpy arrays."""
+    arr = np.asarray(packed)
+    return {
+        "boxes": arr[..., :4],
+        "scores": arr[..., 4],
+        "valid": arr[..., 5] > 0.5,
+    }
+
+
 def augment_class_images(class_images: List[np.ndarray], mode: str):
     """Expand class images with TTA views; returns (views, num_views_per_class).
 
@@ -170,7 +181,8 @@ class Evaluator:
                             level_sizes, inverse_scales, img_normalization,
                             num_views: int = 1):
         """ONE jitted program per signature: uint8 image in -> top-K detections
-        out. Builds the normalized pyramid, runs the backbone + head over all
+        out as a single packed [G, K, 6] array (x1, y1, x2, y2, score,
+        valid) — unpack on host with `unpack_detections`. Builds the normalized pyramid, runs the backbone + head over all
         levels and class chunks, and decodes + NMS-es on device — a single
         host->device dispatch per image (the per-level/per-chunk dispatch
         chain costs real latency over a remote-device tunnel).
@@ -292,13 +304,22 @@ class Evaluator:
                     scales_x = [s for s in scales for _ in range(num_views)]
                 else:
                     sizes_x, scales_x = sizes, scales
-                return decode_pyramid(
+                out = decode_pyramid(
                     loc_p, cls_p, sizes_x, scales_x,
                     nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
                     score_threshold=float(cfg.eval.nms_score_threshold),
                     pre_top_k=int(cfg.tpu.eval_pre_top_k),
                     top_k=int(cfg.tpu.eval_top_k),
                     nms_across_classes=bool(cfg.eval.nms_across_classes),
+                )
+                # pack into ONE array so the caller pays the tunnel's
+                # device->host latency (~18 ms/transfer over axon) once,
+                # not once per leaf (profiled: tools/profile_fused.py r2)
+                return jnp.concatenate(
+                    [out["boxes"],
+                     out["scores"][..., None],
+                     out["valid"][..., None].astype(jnp.float32)],
+                    axis=-1,
                 )
 
             self._decode_cache[key] = detect
@@ -549,16 +570,36 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         gts = []
         all_image_ids = []
         img_norm = dataloader.img_normalization
+
+        def _prefetched_items():
+            """One-step lookahead: upload image i+1 while image i computes.
+
+            The host->device upload of the base uint8 image (~3.7 MB at the
+            1280px protocol) otherwise serializes with compute over the axon
+            tunnel — measured 3.2 img/s end-to-end vs 5.2 compute-only;
+            double-buffering recovers most of the gap (BENCH_NOTES.md)."""
+            prev = None
+            for item in dataloader.make_raw_iterator_for_all_images(1):
+                (batch_ids, base_images, level_sizes, inv_scales,
+                 initial_sizes) = item
+                dev = jax.device_put(base_images[0])
+                if prev is not None:
+                    yield prev
+                prev = (batch_ids, [dev], level_sizes, inv_scales,
+                        initial_sizes)
+            if prev is not None:
+                yield prev
+
         for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
-                dataloader.make_raw_iterator_for_all_images(1)):
+                _prefetched_items()):
             image_id = batch_ids[0]
-            out = evaluator.detect_single_image(
+            out = unpack_detections(evaluator.detect_single_image(
                 params, base_images[0], class_head, level_sizes,
                 inv_scales[0], img_norm, num_views=num_views,
-            )
-            boxes = np.asarray(out["boxes"])
-            scores = np.asarray(out["scores"])
-            valid = np.asarray(out["valid"])
+            ))
+            boxes = out["boxes"]
+            scores = out["scores"]
+            valid = out["valid"]
             det_boxes, det_scores, det_labels = [], [], []
             for row in range(boxes.shape[0]):
                 m = valid[row]

@@ -146,7 +146,7 @@ def head_forward(
     use_inverse_geom_model: bool = True,
     train_mode: bool = False,
     compute_dtype=jnp.float32,
-    resample_precision: str = "high",
+    resample_precision: str = "default",
 ):
     """Score every (image, class, anchor) triple.
 

@@ -59,7 +59,9 @@ class Os2dConfig:
     normalization_mean: tuple = IMG_NORMALIZATION_MEAN
     normalization_std: tuple = IMG_NORMALIZATION_STD
     compute_dtype: str = "float32"
-    resample_precision: str = "high"  # 'highest' = fp32-exact, slower
+    resample_precision: str = "default"  # 'highest' = fp32-exact, slower;
+    # 'default' (1-pass bf16 MXU) measured mAP-neutral vs 'high'
+    # (tools/map_sensitivity.py round 2: dmAP +0.0000, score delta ~3e-4)
 
     @property
     def dtype(self):

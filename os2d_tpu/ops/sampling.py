@@ -155,23 +155,25 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
     iota_h = jnp.arange(h, dtype=px.dtype)
     iota_w = jnp.arange(w, dtype=px.dtype)
 
-    corr_s = corr_p.reshape(b, c, n_chunks, t_chunk, h, w).transpose(2, 0, 1, 3, 4, 5)
-    px_s = px.reshape(b, c, n_chunks, t_chunk, a).transpose(2, 0, 1, 3, 4)
-    py_s = py.reshape(b, c, n_chunks, t_chunk, a).transpose(2, 0, 1, 3, 4)
-    mask_s = mask_t.reshape(c, n_chunks, t_chunk).transpose(1, 0, 2)
-
-    def body(acc, inputs):
-        corr_i, px_i, py_i, mask_i = inputs
+    # Python-unrolled static chunks (n_chunks is small and static, e.g. 8 for
+    # the 121 interior template points): a lax.scan here forced XLA to copy
+    # the whole corr tensor into a chunk-leading stacked layout — profiled at
+    # >60% of device time as copy-start/copy-done pairs. Static slices fuse
+    # into the einsums with no staging copies (tools/profile_fused.py, r2).
+    scores = jnp.zeros((b, c, a), jnp.float32)
+    for k in range(n_chunks):
+        ts = slice(k * t_chunk, (k + 1) * t_chunk)
+        px_i = px[:, :, ts]
+        py_i = py[:, :, ts]
+        corr_i = corr_p[:, :, ts]
+        mask_i = mask_t[:, ts]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py_i[..., None] - iota_h))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px_i[..., None] - iota_w))
         r = jnp.einsum("bctah,bcthw->bctaw", wy, corr_i,
                        preferred_element_type=jnp.float32, precision=precision)
         out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
                          preferred_element_type=jnp.float32, precision=precision)
-        return acc + jnp.sum(out * mask_i[None, :, :, None], axis=2), None
-
-    init = jnp.zeros((b, c, a), jnp.float32)
-    scores, _ = jax.lax.scan(body, init, (corr_s, px_s, py_s, mask_s))
+        scores = scores + jnp.sum(out * mask_i[None, :, :, None], axis=2)
     return scores.reshape(b, c, h, w).astype(corr.dtype)
 
 

@@ -39,13 +39,16 @@ class _TorchResNetFull(TorchResNetC4):
         self.fc = nn.Identity()
 
 
-@pytest.fixture(scope="module")
-def reference_model():
+def build_reference_model(seed: int = 3):
+    """Reference Os2dModel with an injected torch backbone + nudged aligner.
+
+    Shared by this module and the full-protocol parity test
+    (test_full_protocol_golden.py)."""
     import os2d.modeling.feature_extractor as ref_fe
     from os2d.modeling.model import Os2dModel as RefOs2dModel
 
-    torch.manual_seed(3)
-    rng = np.random.RandomState(3)
+    torch.manual_seed(seed)
+    rng = np.random.RandomState(seed)
     net = _TorchResNetFull()
     _randomize_bn_stats(net, rng)
 
@@ -74,6 +77,11 @@ def reference_model():
         )
     ref_model.eval()
     return ref_model
+
+
+@pytest.fixture(scope="module")
+def reference_model():
+    return build_reference_model()
 
 
 def test_full_pipeline_detections_match(reference_model):
