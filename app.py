@@ -65,10 +65,35 @@ def build_service() -> DetectionService:
 app = FastAPI(title="os2d-tpu one-shot detection")
 service = build_service()
 
+# cross-request dynamic batching: concurrent /detect-all-instances requests
+# sharing the same query catalog are grouped into one device dispatch.
+# OS2D_DYNAMIC_BATCH=<max batch> enables it (0/unset = off);
+# OS2D_BATCH_WINDOW_MS tunes the gather window (default 10 ms).
+_batch_size = int(os.environ.get("OS2D_DYNAMIC_BATCH", "0"))
+batcher = None
+if _batch_size > 1:
+    from os2d_tpu.api.service import DynamicBatcher
+
+    batcher = DynamicBatcher(
+        service, max_batch=_batch_size,
+        max_wait_ms=float(os.environ.get("OS2D_BATCH_WINDOW_MS", "10")),
+    )
+
 
 @app.post("/detect-all-instances")
 async def detect_all_instances(request: Request):
     payload = await request.json()
+    if batcher is not None:
+        import asyncio
+
+        from os2d_tpu.api.service import decode_base64_to_image
+
+        image = decode_base64_to_image(payload["image"]["content"])
+        queries = [decode_base64_to_image(q["content"])
+                   for q in payload["query"]]
+        return await asyncio.get_event_loop().run_in_executor(
+            None, batcher.detect, image, queries
+        )
     return service.detect_from_request(payload)
 
 

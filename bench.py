@@ -121,7 +121,10 @@ def main():
             # double-buffer: upload image i+1 while image i computes (the
             # axon tunnel upload is ~120 ms/image and otherwise serializes
             # with compute — measured compute-only 5.2 vs end-to-end 3.2)
+            # additionally hold each packed result one step before blocking,
+            # hiding its ~18 ms download latency behind the next compute
             dev = jax.device_put(images[0])
+            pending = None
             for i in range(NUM_IMAGES):
                 det = evaluator.detect_single_image(
                     params, dev, class_head, level_sizes, inverse_scales,
@@ -129,7 +132,10 @@ def main():
                 )
                 if i + 1 < NUM_IMAGES:
                     dev = jax.device_put(images[i + 1])
-                np.asarray(det)  # block on the packed result
+                if pending is not None:
+                    np.asarray(pending)
+                pending = det
+            np.asarray(pending)
             dt = time.time() - t0
             pass_rates.append(NUM_IMAGES / dt)
             print(f"pass {i_pass}: {pass_rates[-1]:.3f} img/s", file=sys.stderr)

@@ -63,7 +63,7 @@ def build_model_from_config(cfg, logger):
         normalization_mean=tuple(cfg.model.normalization_mean),
         normalization_std=tuple(cfg.model.normalization_std),
         compute_dtype=cfg.tpu.compute_dtype,
-        resample_precision=cfg.tpu.get("resample_precision", "high"),
+        resample_precision=cfg.tpu.get("resample_precision", "default"),
     )
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(cfg.random_seed), model_cfg)
@@ -172,7 +172,7 @@ def main():
                 f"but only {n_dev} are visible; running single-device"
             )
 
-    trainval_loop(
+    return trainval_loop(
         dataloader_train, model, params, cfg, objective_cfg, optimizer,
         opt_state, dataloaders_eval=dataloaders_eval, start_iter=start_iter,
         full_log=full_log, mesh=mesh,

@@ -220,6 +220,17 @@ class DetectionService:
             for image, acc in zip(images, per_image)
         ]
 
+    def queries_signature(self, queries: List[Image.Image]) -> tuple:
+        """Cheap identity key for a query set (dynamic batching groups only
+        requests that share the exact same catalog)."""
+        import hashlib
+
+        sig = []
+        for q in queries:
+            h = hashlib.sha1(q.tobytes()).hexdigest()[:16]
+            sig.append((q.size, q.mode, h))
+        return tuple(sig)
+
     def detect_from_request(self, payload: dict):
         """Request schema of the reference (app.py:48):
         {"image": {"content": b64}, "query": [{"content": b64}, ...]}"""
@@ -233,3 +244,94 @@ class DetectionService:
         images = [decode_base64_to_image(im["content"]) for im in payload["images"]]
         queries = [decode_base64_to_image(q["content"]) for q in payload["query"]]
         return {"results": self.detect_batch(images, queries)}
+
+
+class DynamicBatcher:
+    """Cross-request dynamic batching (the serving layer the reference lacks;
+    ROADMAP serving item, round 2).
+
+    Concurrent `detect()` calls whose query sets are identical (byte-wise)
+    are grouped within a small window and dispatched as ONE
+    `DetectionService.detect_batch` call — the production shape for a fixed
+    catalog served against a stream of images. Requests with different query
+    sets never share a batch.
+
+    Thread-based and framework-agnostic: FastAPI handlers call `detect()`
+    through a threadpool (see app.py); any other server can do the same.
+    """
+
+    def __init__(self, service: DetectionService, max_batch: int = 8,
+                 max_wait_ms: float = 10.0):
+        import queue
+        import threading
+
+        self.service = service
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self._queue: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def detect(self, image: Image.Image, queries: List[Image.Image]) -> dict:
+        """Blocking: enqueue and wait for the grouped result."""
+        import threading
+
+        done = threading.Event()
+        slot = {"result": None, "error": None}
+        sig = self.service.queries_signature(queries)
+        self._queue.put((sig, image, queries, slot, done))
+        done.wait()
+        if slot["error"] is not None:
+            raise slot["error"]
+        return slot["result"]
+
+    def close(self):
+        self._closed = True
+        self._queue.put(None)  # wake the worker
+        self._worker.join(timeout=5)
+
+    # ---- worker ----
+    def _run(self):
+        import queue
+        import time
+
+        while not self._closed:
+            head = self._queue.get()
+            if head is None:
+                continue
+            group = [head]
+            deadline = time.monotonic() + self.max_wait_s
+            leftovers = []
+            # gather same-signature requests until the window closes
+            while len(group) < self.max_batch:
+                timeout = deadline - time.monotonic()
+                if timeout <= 0:
+                    break
+                try:
+                    item = self._queue.get(timeout=timeout)
+                except queue.Empty:
+                    break
+                if item is None:
+                    continue
+                if item[0] == head[0]:
+                    group.append(item)
+                else:
+                    leftovers.append(item)
+            for item in leftovers:  # different catalogs: back to the queue
+                self._queue.put(item)
+
+            images = [g[1] for g in group]
+            queries = group[0][2]
+            try:
+                if len(group) == 1:
+                    results = [self.service.detect(images[0], queries)]
+                else:
+                    results = self.service.detect_batch(images, queries)
+                for g, res in zip(group, results):
+                    g[3]["result"] = res
+                    g[4].set()
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for g in group:
+                    g[3]["error"] = e
+                    g[4].set()

@@ -590,13 +590,10 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             if prev is not None:
                 yield prev
 
-        for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
-                _prefetched_items()):
-            image_id = batch_ids[0]
-            out = unpack_detections(evaluator.detect_single_image(
-                params, base_images[0], class_head, level_sizes,
-                inv_scales[0], img_norm, num_views=num_views,
-            ))
+        def _finalize(image_id, init_size, packed):
+            """Blocks on the packed result (held one step so its ~18 ms
+            download rides behind the next image's compute) and records it."""
+            out = unpack_detections(packed)
             boxes = out["boxes"]
             scores = out["scores"]
             valid = out["valid"]
@@ -606,7 +603,6 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                 det_boxes.append(boxes[row][m])
                 det_scores.append(scores[row][m])
                 det_labels.append(np.full(int(m.sum()), class_ids[row], np.int64))
-            init_size = initial_sizes[0]
             pred = {
                 "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
                 "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
@@ -625,6 +621,19 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     "image_size": (ann.image_size.w, ann.image_size.h),
                 }
             )
+
+        pending = None
+        for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
+                _prefetched_items()):
+            packed = evaluator.detect_single_image(
+                params, base_images[0], class_head, level_sizes,
+                inv_scales[0], img_norm, num_views=num_views,
+            )
+            if pending is not None:
+                _finalize(*pending)
+            pending = (batch_ids[0], initial_sizes[0], packed)
+        if pending is not None:
+            _finalize(*pending)
         return _finish_evaluation(
             predictions, gts, cfg, class_ids, dataset_name, t_start, {}, 0,
             print_per_class_results, logger, image_ids=all_image_ids,

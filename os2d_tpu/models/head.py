@@ -198,6 +198,11 @@ def head_forward(
     gy = grids_fm[..., 1] / (h - 1) * 2.0 - 1.0
     grids_unit = jnp.clip(jnp.stack([gx, gy], axis=-1), -1.0, 1.0)
 
+    # the "int8" resample tier has no gradient w.r.t. the sampling grids
+    # (fixed-point round); training falls back to 'default'
+    if train_mode and resample_precision == "int8":
+        resample_precision = "default"
+
     # the pool mask zeroes the 2-wide template border, so the resample skips
     # those points entirely (bit-identical, 1.86x less gather work)
     cls = resample_correlation_map_masked(

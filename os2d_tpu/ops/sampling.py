@@ -107,8 +107,8 @@ def grid_sample_bilinear(img, grid, padding_mode: str = "border"):
     return out.reshape((n,) + gshape + (c,))
 
 
-def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
-                             t_chunk=16):
+def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
+                             t_chunk=8):
     """Gather-free resample + masked pool of the correlation tensor (the
     model's hot op) as dense MXU contractions.
 
@@ -138,7 +138,11 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
     # [B, C, A, th, tw] -> [B, C, T, A] with T-index = tx*th + ty
     px = px.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
     py = py.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
-    corr_p = corr.reshape(b, c, a, t).transpose(0, 1, 3, 2).reshape(b, c, t, h, w)
+    # corr stays in its NATURAL [B, C, H, W, T] layout (t already tx*th+ty):
+    # chunks slice the contiguous last axis and the first einsum associates
+    # (h, w, t) itself — measurably faster than pre-transposing to
+    # [B, C, T, H, W] (the transpose was an HBM copy of the whole tensor)
+    corr_p = corr
     mask_t = pool_mask.transpose(0, 2, 1).reshape(c, t).astype(corr.dtype)
 
     n_chunks = (t + t_chunk - 1) // t_chunk
@@ -146,8 +150,8 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
     if t_pad != t:
         pad4 = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
         corr_p = jnp.pad(
-            corr_p.reshape(b, c, t, a), pad4
-        ).reshape(b, c, t_pad, h, w)
+            corr_p, ((0, 0), (0, 0), (0, 0), (0, 0), (0, t_pad - t))
+        )
         px = jnp.pad(px, pad4)
         py = jnp.pad(py, pad4)
         mask_t = jnp.pad(mask_t, ((0, 0), (0, t_pad - t)))
@@ -155,7 +159,18 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
     iota_h = jnp.arange(h, dtype=px.dtype)
     iota_w = jnp.arange(w, dtype=px.dtype)
 
-    # Python-unrolled static chunks (n_chunks is small and static, e.g. 8 for
+    # The "int8" tier runs the big h-contraction on the MXU's int8 path
+    # (2x the bf16 rate on v5e): corr is a cosine of two L2-normalized
+    # feature vectors, so |corr| <= 1 and fixed-point x127 loses ~0.004 abs —
+    # the same error scale as the bf16 mantissa of the 'default' tier.
+    # EVAL-ONLY: round() kills the gradient w.r.t. the sampling grids
+    # (head_forward falls back to 'default' in train mode).
+    int8_tier = precision == "int8"
+    out_dtype = corr.dtype
+    if int8_tier:
+        corr_p = jnp.clip(jnp.round(corr_p * 127.0), -127, 127).astype(jnp.int8)
+
+    # Python-unrolled static chunks (n_chunks is small and static, e.g. 16 for
     # the 121 interior template points): a lax.scan here forced XLA to copy
     # the whole corr tensor into a chunk-leading stacked layout — profiled at
     # >60% of device time as copy-start/copy-done pairs. Static slices fuse
@@ -165,16 +180,27 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="high",
         ts = slice(k * t_chunk, (k + 1) * t_chunk)
         px_i = px[:, :, ts]
         py_i = py[:, :, ts]
-        corr_i = corr_p[:, :, ts]
+        corr_i = corr_p[..., ts]
         mask_i = mask_t[:, ts]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py_i[..., None] - iota_h))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px_i[..., None] - iota_w))
-        r = jnp.einsum("bctah,bcthw->bctaw", wy, corr_i,
-                       preferred_element_type=jnp.float32, precision=precision)
-        out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
-                         preferred_element_type=jnp.float32, precision=precision)
+        if int8_tier:
+            wy_q = jnp.round(wy * 127.0).astype(jnp.int8)
+            r = jnp.einsum("bctah,bchwt->bctaw", wy_q, corr_i,
+                           preferred_element_type=jnp.int32)
+            r = r.astype(jnp.float32) * (1.0 / (127.0 * 127.0))
+            out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
+                             preferred_element_type=jnp.float32,
+                             precision="default")
+        else:
+            r = jnp.einsum("bctah,bchwt->bctaw", wy, corr_i,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+            out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
         scores = scores + jnp.sum(out * mask_i[None, :, :, None], axis=2)
-    return scores.reshape(b, c, h, w).astype(corr.dtype)
+    return scores.reshape(b, c, h, w).astype(out_dtype)
 
 
 def resample_correlation_map_gather(corr, grids_unit, pool_mask):

@@ -178,6 +178,27 @@ def test_resample_correlation_map_matches_reference():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_resample_int8_tier_close_to_exact():
+    """The eval-only 'int8' precision tier (fixed-point x127 on cosine-valued
+    correlations) must stay within its designed ~1e-3 error envelope."""
+    b, c, h, w, th, tw = 1, 2, 6, 7, 5, 5
+    t = th * tw
+    corr = np.tanh(RNG.randn(b, c, h, w, t)).astype(np.float32)  # in [-1, 1]
+    grids = np.clip(RNG.uniform(-1, 1, (b, c, h, w, th, tw, 2)), -1, 1).astype(
+        np.float32
+    )
+    mask = np.full((c, th, tw), 1.0 / t, np.float32)
+    exact = np.asarray(resample_correlation_map(
+        jnp.asarray(corr), jnp.asarray(grids), jnp.asarray(mask),
+        precision="highest",
+    ))
+    q = np.asarray(resample_correlation_map(
+        jnp.asarray(corr), jnp.asarray(grids), jnp.asarray(mask),
+        precision="int8",
+    ))
+    assert np.abs(q - exact).max() < 3e-3, np.abs(q - exact).max()
+
+
 def test_local_to_global_grid():
     grids = RNG.uniform(-1, 1, (2, 4, 3, 5, 5, 2)).astype(np.float32)
     boxes = np.array([10.0, 20.0, 40.0, 100.0], np.float32)

@@ -129,3 +129,60 @@ def test_service_tta_rotation90():
         top, [48 / 640, 112 / 480, (48 + 240) / 640, (112 + 240) / 480],
         atol=0.08,
     )
+
+
+def test_dynamic_batcher_groups_concurrent_requests():
+    """Cross-request dynamic batching: concurrent detect() calls with the
+    SAME query catalog group into one detect_batch dispatch; results match
+    the direct batched path and land on the planted patches."""
+    import threading
+
+    from os2d_tpu.api.service import DynamicBatcher
+
+    rng = np.random.RandomState(3)
+    patch = np.kron(
+        rng.randint(0, 255, (30, 30, 3), np.uint8), np.ones((8, 8, 1), np.uint8)
+    )
+    positions = [(48, 112), (336, 176), (128, 48)]
+    scenes = [
+        Image.fromarray(_planted_scene(rng, 640, 480, patch, x0, y0))
+        for (x0, y0) in positions
+    ]
+    queries = [Image.fromarray(patch)]
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    import os2d_tpu.api.service as service_mod
+
+    service = DetectionService(model, params, score_threshold=0.3)
+    orig = service_mod.TARGET_IMAGE_SIZE
+    service_mod.TARGET_IMAGE_SIZE = 640
+    batcher = DynamicBatcher(service, max_batch=3, max_wait_ms=3000)
+    try:
+        want = service.detect_batch(scenes, queries)
+
+        results = [None] * len(scenes)
+        threads = []
+        for i, scene in enumerate(scenes):
+            def call(i=i, scene=scene):
+                results[i] = batcher.detect(scene, queries)
+            t = threading.Thread(target=call)
+            threads.append(t)
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is not None for r in results)
+        for i, ((x0, y0), res) in enumerate(zip(positions, results)):
+            assert res["scores"], f"image {i}: no detections"
+            np.testing.assert_allclose(
+                res["bboxes"][0],
+                [x0 / 640, y0 / 480, (x0 + 240) / 640, (y0 + 240) / 480],
+                atol=0.08,
+            )
+            np.testing.assert_allclose(
+                res["scores"][0], want[i]["scores"][0], atol=1e-5
+            )
+    finally:
+        service_mod.TARGET_IMAGE_SIZE = orig
+        batcher.close()
