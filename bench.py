@@ -34,6 +34,9 @@ PYRAMID = [0.5, 0.625, 0.8, 1, 1.2, 1.4, 1.6]
 NUM_CLASSES = 16
 NUM_IMAGES = 8   # images per timed pass
 N_PASSES = 5     # median over passes (tunnel variance)
+# images per fused dispatch: B=2 amortizes the per-dispatch fixed overhead
+# (measured compute-only 7.7 -> 8.5 img/s; B=4 regresses on memory pressure)
+BATCH = int(os.environ.get("OS2D_BENCH_BATCH", "2"))
 
 # Useful model math per image at this protocol (BENCH_NOTES.md FLOP
 # accounting): backbone ~0.6 TFLOP + correlation ~1.3 TFLOP + TN ~0.23 TFLOP.
@@ -91,26 +94,29 @@ def main():
 
     from os2d_tpu.engine.evaluate import unpack_detections
 
-    def run_one_image(image_u8):
-        # ONE dispatch: uint8 image -> fused pyramid/backbone/head/decode,
-        # ONE packed download (the device->host transfer IS the pipeline
-        # boundary; block_until_ready is unreliable on the axon tunnel)
-        det = evaluator.detect_single_image(
-            params, image_u8, class_head, level_sizes, inverse_scales, img_norm
+    def run_batch(images_u8):
+        # ONE dispatch: uint8 image batch -> fused pyramid/backbone/head/
+        # decode, ONE packed download (the device->host transfer IS the
+        # pipeline boundary; block_until_ready is unreliable on axon)
+        det = evaluator.detect_images(
+            params, images_u8, class_head, level_sizes, inverse_scales,
+            img_norm,
         )
         return unpack_detections(det)
 
-    def make_image(seed):
+    def make_batch(seed):
         r = np.random.RandomState(seed)
-        return r.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+        return r.randint(0, 255, (BATCH, IMG_H, IMG_W, 3), np.uint8)
 
     # warmup (compilation)
     t0 = time.time()
-    run_one_image(make_image(123))
+    run_batch(make_batch(123))
     warmup_s = time.time() - t0
     print(f"warmup (compile) took {warmup_s:.1f}s", file=sys.stderr)
 
-    images = [make_image(i) for i in range(NUM_IMAGES)]
+    n_batches = (NUM_IMAGES + BATCH - 1) // BATCH
+    n_timed_images = n_batches * BATCH
+    batches = [make_batch(i) for i in range(n_batches)]
 
     from os2d_tpu.utils.profiling import maybe_trace_from_env
 
@@ -118,39 +124,39 @@ def main():
     with maybe_trace_from_env():
         for i_pass in range(N_PASSES):
             t0 = time.time()
-            # double-buffer: upload image i+1 while image i computes (the
+            # double-buffer: upload batch i+1 while batch i computes (the
             # axon tunnel upload is ~120 ms/image and otherwise serializes
             # with compute — measured compute-only 5.2 vs end-to-end 3.2)
             # additionally hold each packed result one step before blocking,
             # hiding its ~18 ms download latency behind the next compute
-            dev = jax.device_put(images[0])
+            dev = jax.device_put(batches[0])
             pending = None
-            for i in range(NUM_IMAGES):
-                det = evaluator.detect_single_image(
+            for i in range(n_batches):
+                det = evaluator.detect_images(
                     params, dev, class_head, level_sizes, inverse_scales,
                     img_norm,
                 )
-                if i + 1 < NUM_IMAGES:
-                    dev = jax.device_put(images[i + 1])
+                if i + 1 < n_batches:
+                    dev = jax.device_put(batches[i + 1])
                 if pending is not None:
                     np.asarray(pending)
                 pending = det
             np.asarray(pending)
             dt = time.time() - t0
-            pass_rates.append(NUM_IMAGES / dt)
+            pass_rates.append(n_timed_images / dt)
             print(f"pass {i_pass}: {pass_rates[-1]:.3f} img/s", file=sys.stderr)
     median_rate = float(np.median(pass_rates))
 
     # compute-only: images pre-staged on device, isolating the uint8 upload
     # (the axon tunnel) from on-chip compute + detection download
-    dev_images = [jax.device_put(img) for img in images]
-    np.asarray(dev_images[-1][0, 0])  # sync the uploads
+    dev_batches = [jax.device_put(b) for b in batches]
+    np.asarray(dev_batches[-1][0, 0, 0])  # sync the uploads
     compute_rates = []
     for _ in range(3):
         t0 = time.time()
-        for img in dev_images:
-            run_one_image(img)
-        compute_rates.append(NUM_IMAGES / (time.time() - t0))
+        for b in dev_batches:
+            run_batch(b)
+        compute_rates.append(n_timed_images / (time.time() - t0))
     compute_rate = float(np.median(compute_rates))
 
     mfu_pct = median_rate * USEFUL_TFLOP_PER_IMAGE / PEAK_BF16_TFLOPS * 100.0
@@ -171,6 +177,7 @@ def main():
                     median_rate / V100_BASELINE_IMAGES_PER_SEC, 4
                 ),
                 "passes": [round(r, 4) for r in pass_rates],
+                "images_per_dispatch": BATCH,
                 "compute_only_images_per_sec": round(compute_rate, 4),
                 "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
                 "baseline_denominator": {

@@ -180,12 +180,26 @@ class Evaluator:
     def detect_single_image(self, params, image_u8, class_head,
                             level_sizes, inverse_scales, img_normalization,
                             num_views: int = 1):
-        """ONE jitted program per signature: uint8 image in -> top-K detections
-        out as a single packed [G, K, 6] array (x1, y1, x2, y2, score,
-        valid) — unpack on host with `unpack_detections`. Builds the normalized pyramid, runs the backbone + head over all
-        levels and class chunks, and decodes + NMS-es on device — a single
-        host->device dispatch per image (the per-level/per-chunk dispatch
-        chain costs real latency over a remote-device tunnel).
+        """Single-image wrapper over `detect_images`: [H, W, 3] uint8 in ->
+        packed [G, K, 6] detections out (one fused dispatch)."""
+        batched = self.detect_images(
+            params, image_u8[None] if image_u8.ndim == 3 else image_u8,
+            class_head, level_sizes, inverse_scales, img_normalization,
+            num_views=num_views,
+        )
+        return batched[0]
+
+    def detect_images(self, params, images_u8, class_head,
+                      level_sizes, inverse_scales, img_normalization,
+                      num_views: int = 1):
+        """ONE jitted program per signature: uint8 image batch [B, H, W, 3]
+        in -> top-K detections out as a single packed [B, G, K, 6] array
+        (x1, y1, x2, y2, score, valid) — unpack on host with
+        `unpack_detections`. Builds the normalized pyramid, runs the backbone
+        + head over all levels and class chunks, and decodes + NMS-es on
+        device — a single host->device dispatch per image batch (the
+        per-level/per-chunk dispatch chain costs real latency over a remote-
+        device tunnel, and the per-dispatch fixed overhead amortizes over B).
 
         Class chunks run under lax.scan (not a Python unroll), so the compiled
         program size is independent of the class count — grozi-scale C~1000
@@ -202,7 +216,7 @@ class Evaluator:
         )
         key = (
             "detect",
-            image_u8.shape,
+            images_u8.shape,
             tuple(level_sizes),
             tuple(tuple(s) for s in inverse_scales),
             feats_bank.shape,
@@ -237,8 +251,8 @@ class Evaluator:
                 )
 
             @jax.jit
-            def detect(params, image_u8, class_feats, q_scales, pool_mask):
-                img = (image_u8.astype(jnp.float32) / 255.0 - mean) / std
+            def detect(params, images_u8, class_feats, q_scales, pool_mask):
+                img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
                 feats_r = _pad_c(class_feats).reshape(
                     (n_chunks, chunk) + class_feats.shape[1:]
                 )
@@ -258,14 +272,16 @@ class Evaluator:
                     feats_r = jax.lax.with_sharding_constraint(feats_r, shard)
                     mask_r = jax.lax.with_sharding_constraint(mask_r, shard)
 
+                n_img = images_u8.shape[0]
                 loc_p, cls_p = [], []
                 for sz in sizes:
-                    if (sz.h, sz.w) == image_u8.shape[:2]:
-                        lvl = img[None]
+                    if (sz.h, sz.w) == images_u8.shape[1:3]:
+                        lvl = img
                     else:
                         lvl = jax.image.resize(
-                            img, (sz.h, sz.w, 3), method="bilinear", antialias=True
-                        )[None]
+                            img, (n_img, sz.h, sz.w, 3), method="bilinear",
+                            antialias=True,
+                        )
                     fm = resnet_c4_forward(
                         params["backbone"], lvl, model.config.dtype
                     )
@@ -287,31 +303,44 @@ class Evaluator:
                             compute_dtype=model.config.dtype,
                             resample_precision=model.config.resample_precision,
                         )
-                        return None, (out["loc"][0], out["cls"][0])
+                        return None, (out["loc"], out["cls"])
 
                     xs = (
                         (feats_r, qs_r, mask_r) if quantized
                         else (feats_r, mask_r)
                     )
+                    # scan yields [n_chunks, B, chunk, ...] -> [B, C, ...]
                     _, (locs, clss) = jax.lax.scan(chunk_body, None, xs)
-                    loc_p.append(locs.reshape((c_pad,) + locs.shape[2:])[:c_total])
-                    cls_p.append(clss.reshape((c_pad,) + clss.shape[2:])[:c_total])
+                    locs = locs.transpose(1, 0, 2, 3, 4).reshape(
+                        (n_img, c_pad) + locs.shape[3:]
+                    )
+                    clss = clss.transpose(1, 0, 2, 3).reshape(
+                        (n_img, c_pad) + clss.shape[3:]
+                    )
+                    loc_p.append(locs[:, :c_total])
+                    cls_p.append(clss[:, :c_total])
 
                 if num_views > 1:
-                    loc_p = [l[v::num_views] for l in loc_p for v in range(num_views)]
-                    cls_p = [c_[v::num_views] for c_ in cls_p for v in range(num_views)]
+                    loc_p = [l[:, v::num_views]
+                             for l in loc_p for v in range(num_views)]
+                    cls_p = [c_[:, v::num_views]
+                             for c_ in cls_p for v in range(num_views)]
                     sizes_x = [s for s in sizes for _ in range(num_views)]
                     scales_x = [s for s in scales for _ in range(num_views)]
                 else:
                     sizes_x, scales_x = sizes, scales
-                out = decode_pyramid(
-                    loc_p, cls_p, sizes_x, scales_x,
-                    nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
-                    score_threshold=float(cfg.eval.nms_score_threshold),
-                    pre_top_k=int(cfg.tpu.eval_pre_top_k),
-                    top_k=int(cfg.tpu.eval_top_k),
-                    nms_across_classes=bool(cfg.eval.nms_across_classes),
-                )
+
+                def _decode_one(loc_list, cls_list):
+                    return decode_pyramid(
+                        loc_list, cls_list, sizes_x, scales_x,
+                        nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
+                        score_threshold=float(cfg.eval.nms_score_threshold),
+                        pre_top_k=int(cfg.tpu.eval_pre_top_k),
+                        top_k=int(cfg.tpu.eval_top_k),
+                        nms_across_classes=bool(cfg.eval.nms_across_classes),
+                    )
+
+                out = jax.vmap(_decode_one)(loc_p, cls_p)
                 # pack into ONE array so the caller pays the tunnel's
                 # device->host latency (~18 ms/transfer over axon) once,
                 # not once per leaf (profiled: tools/profile_fused.py r2)
@@ -327,9 +356,9 @@ class Evaluator:
         fn = self._decode_cache[key]
         if self.mesh is not None:
             with self.mesh:
-                return fn(params, jnp.asarray(image_u8), feats_bank, q_scales,
+                return fn(params, jnp.asarray(images_u8), feats_bank, q_scales,
                           class_head.pool_mask)
-        return fn(params, jnp.asarray(image_u8), feats_bank, q_scales,
+        return fn(params, jnp.asarray(images_u8), feats_bank, q_scales,
                   class_head.pool_mask)
 
     # ---- decoding ----
@@ -489,8 +518,6 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
     fused_blockers = []
     if not use_device_pyramid:
         fused_blockers.append("cfg.tpu.device_side_pyramid=False")
-    if cfg.eval.batch_size != 1:
-        fused_blockers.append(f"eval.batch_size={cfg.eval.batch_size} (>1)")
     if criterion is not None:
         fused_blockers.append("eval loss metrics requested (criterion)")
     if viz_cfg.show_class_heatmaps:
@@ -571,67 +598,79 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         all_image_ids = []
         img_norm = dataloader.img_normalization
 
-        def _prefetched_items():
-            """One-step lookahead: upload image i+1 while image i computes.
+        batch_size = max(1, int(cfg.eval.batch_size))
 
-            The host->device upload of the base uint8 image (~3.7 MB at the
-            1280px protocol) otherwise serializes with compute over the axon
-            tunnel — measured 3.2 img/s end-to-end vs 5.2 compute-only;
-            double-buffering recovers most of the gap (BENCH_NOTES.md)."""
+        def _prefetched_items():
+            """One-step lookahead: upload batch i+1 while batch i computes.
+
+            The host->device upload of the base uint8 images (~3.7 MB/image at
+            the 1280px protocol) otherwise serializes with compute over the
+            axon tunnel — measured 3.2 img/s end-to-end vs 5.2 compute-only;
+            double-buffering recovers most of the gap (BENCH_NOTES.md).
+            Partial tail batches are padded by repeating the last image (each
+            bucket batch is uniform in size); n_real marks the genuine rows."""
             prev = None
-            for item in dataloader.make_raw_iterator_for_all_images(1):
+            for item in dataloader.make_raw_iterator_for_all_images(batch_size):
                 (batch_ids, base_images, level_sizes, inv_scales,
                  initial_sizes) = item
-                dev = jax.device_put(base_images[0])
+                n_real = len(base_images)
+                stacked = np.stack(
+                    base_images + [base_images[-1]] * (batch_size - n_real)
+                )
+                dev = jax.device_put(stacked)
                 if prev is not None:
                     yield prev
-                prev = (batch_ids, [dev], level_sizes, inv_scales,
+                prev = (batch_ids, dev, level_sizes, inv_scales,
                         initial_sizes)
             if prev is not None:
                 yield prev
 
-        def _finalize(image_id, init_size, packed):
-            """Blocks on the packed result (held one step so its ~18 ms
-            download rides behind the next image's compute) and records it."""
+        def _finalize(batch_ids_b, initial_sizes_b, packed):
+            """Blocks on the packed [B, G, K, 6] result (held one step so its
+            ~18 ms download rides behind the next batch's compute) and records
+            every genuine image row (padded tail rows are skipped)."""
             out = unpack_detections(packed)
-            boxes = out["boxes"]
-            scores = out["scores"]
-            valid = out["valid"]
-            det_boxes, det_scores, det_labels = [], [], []
-            for row in range(boxes.shape[0]):
-                m = valid[row]
-                det_boxes.append(boxes[row][m])
-                det_scores.append(scores[row][m])
-                det_labels.append(np.full(int(m.sum()), class_ids[row], np.int64))
-            pred = {
-                "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
-                "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
-                "labels": np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64),
-                "image_size": (init_size.w, init_size.h),
-            }
-            predictions.append(pred)
-            all_image_ids.append(image_id)
-            _visualize(image_id, pred["boxes"], pred["scores"], pred["labels"])
-            ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
-            gts.append(
-                {
-                    "boxes": ann.bbox_xyxy,
-                    "labels": ann.get_field("labels"),
-                    "difficult": ann.get_field("difficult"),
-                    "image_size": (ann.image_size.w, ann.image_size.h),
+            for i_image, image_id in enumerate(batch_ids_b):
+                boxes = out["boxes"][i_image]
+                scores = out["scores"][i_image]
+                valid = out["valid"][i_image]
+                det_boxes, det_scores, det_labels = [], [], []
+                for row in range(boxes.shape[0]):
+                    m = valid[row]
+                    det_boxes.append(boxes[row][m])
+                    det_scores.append(scores[row][m])
+                    det_labels.append(
+                        np.full(int(m.sum()), class_ids[row], np.int64))
+                init_size = initial_sizes_b[i_image]
+                pred = {
+                    "boxes": np.concatenate(det_boxes) if det_boxes else np.zeros((0, 4), np.float32),
+                    "scores": np.concatenate(det_scores) if det_scores else np.zeros((0,), np.float32),
+                    "labels": np.concatenate(det_labels) if det_labels else np.zeros((0,), np.int64),
+                    "image_size": (init_size.w, init_size.h),
                 }
-            )
+                predictions.append(pred)
+                all_image_ids.append(image_id)
+                _visualize(image_id, pred["boxes"], pred["scores"], pred["labels"])
+                ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+                gts.append(
+                    {
+                        "boxes": ann.bbox_xyxy,
+                        "labels": ann.get_field("labels"),
+                        "difficult": ann.get_field("difficult"),
+                        "image_size": (ann.image_size.w, ann.image_size.h),
+                    }
+                )
 
         pending = None
-        for (batch_ids, base_images, level_sizes, inv_scales, initial_sizes) in (
+        for (batch_ids, dev_images, level_sizes, inv_scales, initial_sizes) in (
                 _prefetched_items()):
-            packed = evaluator.detect_single_image(
-                params, base_images[0], class_head, level_sizes,
+            packed = evaluator.detect_images(
+                params, dev_images, class_head, level_sizes,
                 inv_scales[0], img_norm, num_views=num_views,
             )
             if pending is not None:
                 _finalize(*pending)
-            pending = (batch_ids[0], initial_sizes[0], packed)
+            pending = (batch_ids, initial_sizes, packed)
         if pending is not None:
             _finalize(*pending)
         return _finish_evaluation(

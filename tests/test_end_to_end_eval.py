@@ -15,6 +15,7 @@ import pytest
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from os2d_tpu.config import get_default_cfg
 from os2d_tpu.data.dataset import DatasetOneShotDetection
@@ -149,7 +150,8 @@ def test_eval_visualization_hooks(synthetic_loader, tmp_path):
 
 
 def test_eval_classic_path_batch2(synthetic_loader):
-    """batch_size=2 routes through the classic (non-fused) path and matches."""
+    """batch_size=2 now routes through the FUSED path as one batched dispatch
+    per image pair (partial tail batches padded) and still detects."""
     cfg = get_default_cfg()
     cfg.eval.mAP_iou_thresholds = [0.5]
     cfg.eval.batch_size = 2
@@ -162,6 +164,37 @@ def test_eval_classic_path_batch2(synthetic_loader):
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
     results = evaluate(synthetic_loader, model, params, cfg)
     assert results["mAP@0.50"] > 0.9, results
+
+
+def test_detect_images_matches_single():
+    """The batched fused program must reproduce per-image results exactly
+    (same weights, same levels): detect_images[i] == detect_single_image(i)."""
+    from os2d_tpu.engine.evaluate import Evaluator
+    from os2d_tpu.structures.feature_map import FeatureMapSize
+
+    rng = np.random.RandomState(0)
+    cfg = get_default_cfg()
+    cfg.tpu.eval_class_chunk = 3
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+    head = model.build_class_head_from_images(
+        params,
+        [jnp.asarray(rng.randn(240, 240, 3).astype(np.float32))
+         for _ in range(5)],
+    )
+    ev = Evaluator(model, cfg)
+    img_w, img_h = 320, 256
+    sizes = [FeatureMapSize(w=256, h=192), FeatureMapSize(w=img_w, h=img_h)]
+    inv = [(img_w / s.w, img_h / s.h) for s in sizes]
+    norm = {"mean": model_cfg.normalization_mean,
+            "std": model_cfg.normalization_std}
+    imgs = rng.randint(0, 255, (3, img_h, img_w, 3), np.uint8)
+    batched = np.asarray(ev.detect_images(params, imgs, head, sizes, inv, norm))
+    for i in range(3):
+        single = np.asarray(
+            ev.detect_single_image(params, imgs[i], head, sizes, inv, norm))
+        np.testing.assert_allclose(single, batched[i], atol=2e-4, rtol=1e-4)
 
 
 def test_eval_fold_bn_matches(synthetic_loader):
