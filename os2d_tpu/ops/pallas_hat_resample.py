@@ -6,15 +6,18 @@ The XLA path materializes the per-axis hat-weight tensors
 Wy[b,c,t,a,h] / Wx[b,c,t,a,w] in HBM between the two einsums; this kernel
 computes them on the fly in VMEM and feeds the MXU directly:
 
-    out[c, a] = sum_t mask[c, t] * (Wy[t, a, :] @ corr[c, :, :, t] @ Wx[t, a, :]^T)
+    out[c, a] = sum_t (Wy[t, a, :] @ (mask[c, t] * corr[c, t, :, :]) @ Wx[t, a, :]^T)
 
-Grid: (BC, A_tiles); the full template axis T and the corr slab
-[H, W, T] for one (b, c) live in VMEM per step (5.9 MB at the largest bench
-level, fm 96x128, T=121 interior points). Inside a step a static Python loop
-walks the T template points; each point is one [A_BLK, H] x [H, W] matmul in
-bf16 (the numerics of the XLA path's precision='default' tier) plus a VPU
-hat/row-reduce. No gather anywhere — this sidesteps the toolchain's
-tpu.dynamic_gather hang (BENCH_NOTES.md round 1).
+The pool-mask weight is pre-multiplied into corr outside the kernel (one
+cheap elementwise pass) so the inner loop is a pure matmul + VPU reduce.
+Grid: (B*C, A_tiles); the full template axis T and the corr slab [T, H, W]
+for one (b, c) live in VMEM per step (5.9 MB at the largest bench level,
+fm 96x128, T=121 interior points). A `fori_loop` walks the T template
+points (an unrolled Python loop made Mosaic compile times explode); each
+point is one [A_BLK, H] x [H, W] matmul in bf16 (the numerics of the XLA
+path's precision='default' tier) plus a VPU hat/row-reduce. No gather
+anywhere — this sidesteps the toolchain's tpu.dynamic_gather hang
+(BENCH_NOTES.md round 1).
 
 EVAL-ONLY: no custom VJP is defined; head_forward falls back to the XLA
 path in train mode (same policy as the 'int8' tier).
@@ -30,32 +33,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _hat_resample_kernel(corr_ref, py_ref, px_ref, mask_ref, out_ref,
+def _hat_resample_kernel(corr_ref, py_ref, px_ref, out_ref,
                          *, t: int, h: int, w: int, a_blk: int):
     """One grid step: all T template points for one (b*c, a-tile) pair.
 
-    corr_ref: [1, H, W, T]   correlation slab for this (b, c)
-    py_ref:   [1, T, A_BLK]  sample rows (feature-map y coords, pre-clamped)
-    px_ref:   [1, T, A_BLK]  sample cols
-    mask_ref: [1, T]         spatially-normalized pool mask weights
-    out_ref:  [1, A_BLK]     pooled scores (fp32)
+    corr_ref: [1, T, H, W]     mask-scaled correlation slab for this (b, c)
+    py_ref:   [1, T, A_BLK]    sample rows (feature-map y coords, pre-clamped)
+    px_ref:   [1, T, A_BLK]    sample cols
+    out_ref:  [1, 1, 1, A_BLK] pooled scores (fp32)
     """
-    iota_h = jax.lax.broadcasted_iota(jnp.float32, (a_blk, h), 1)
-    iota_w = jax.lax.broadcasted_iota(jnp.float32, (a_blk, w), 1)
-    acc = jnp.zeros((a_blk,), jnp.float32)
-    for tt in range(t):
+    # tpu.iota is integer-only; cast to fp32 afterwards
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (a_blk, h), 1).astype(
+        jnp.float32)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (a_blk, w), 1).astype(
+        jnp.float32)
+
+    def body(tt, acc):
         py_t = py_ref[0, tt, :]  # [A_BLK]
         px_t = px_ref[0, tt, :]
         wy = jnp.maximum(0.0, 1.0 - jnp.abs(py_t[:, None] - iota_h))
         wx = jnp.maximum(0.0, 1.0 - jnp.abs(px_t[:, None] - iota_w))
-        corr_t = corr_ref[0, :, :, tt]  # [H, W]
+        corr_t = corr_ref[0, tt]  # [H, W]
         r = jnp.dot(
             wy.astype(jnp.bfloat16),
             corr_t.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )  # [A_BLK, W]
-        acc = acc + mask_ref[0, tt] * jnp.sum(r * wx, axis=1)
-    out_ref[0, :] = acc
+        return acc + jnp.sum(r * wx, axis=1)
+
+    acc = jax.lax.fori_loop(0, t, body, jnp.zeros((a_blk,), jnp.float32))
+    out_ref[0, 0, 0, :] = acc
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
@@ -81,10 +88,14 @@ def resample_correlation_map_pallas(corr, grids_unit, pool_mask,
     # [B, C, A, th, tw] -> [BC, T, A] with T-index = tx*th + ty
     px = px.transpose(0, 1, 4, 3, 2).reshape(bc, t, a)
     py = py.transpose(0, 1, 4, 3, 2).reshape(bc, t, a)
-    corr_r = corr.reshape(bc, h, w, t)
-    mask_t = jnp.tile(
-        pool_mask.transpose(0, 2, 1).reshape(c, t).astype(jnp.float32), (b, 1)
-    )  # [BC, T]
+    # [BC, T, H, W] slab, pool mask folded in (saves a dynamic-lane scalar
+    # read per template point inside the kernel)
+    mask_t = pool_mask.transpose(0, 2, 1).reshape(c, t).astype(jnp.float32)
+    mask_t = jnp.tile(mask_t, (b, 1))  # [BC, T]
+    corr_r = (
+        corr.reshape(bc, h, w, t).transpose(0, 3, 1, 2)
+        * mask_t[:, :, None, None]
+    )
 
     a_pad = ((a + a_blk - 1) // a_blk) * a_blk
     if a_pad != a:
@@ -101,24 +112,22 @@ def resample_correlation_map_pallas(corr, grids_unit, pool_mask,
         kernel,
         grid=(bc, n_a),
         in_specs=[
-            pl.BlockSpec((1, h, w, t), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, t, h, w), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, a_blk), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, t, a_blk), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, a_blk), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((1, 1, 1, a_blk), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bc, a_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bc, n_a, 1, a_blk), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=flops,
-            bytes_accessed=corr_r.size * 4 * n_a + px.size * 8,
+            bytes_accessed=corr_r.size * 4 + px.size * 8,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(corr_r, py, px, mask_t)
+    )(corr_r, py, px)
 
-    return out[:, :a].reshape(b, c, h, w).astype(corr.dtype)
+    return out.reshape(bc, a_pad)[:, :a].reshape(b, c, h, w).astype(corr.dtype)

@@ -37,3 +37,30 @@ def test_pallas_resample_matches_xla(b, c, h, w):
         resample_correlation_map_pallas(corr, grids, mask, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("b,c,h,w", [(1, 2, 8, 16), (2, 3, 12, 16)])
+def test_pallas_hat_resample_matches_xla(b, c, h, w):
+    """Interpret-mode parity of the fused hat-matmul kernel
+    (ops/pallas_hat_resample.py; bf16 matmul -> 'default'-tier error)."""
+    from os2d_tpu.ops.pallas_hat_resample import (
+        resample_correlation_map_pallas as hat_pallas,
+    )
+
+    rng = np.random.RandomState(1)
+    th = tw = 5
+    t = th * tw
+    corr = jnp.asarray(np.tanh(rng.randn(b, c, h, w, t)).astype(np.float32))
+    grids = jnp.asarray(
+        np.clip(rng.uniform(-1, 1, (b, c, h, w, th, tw, 2)), -1, 1).astype(
+            np.float32
+        )
+    )
+    mask = rng.rand(c, th, tw).astype(np.float32)
+    mask = jnp.asarray(mask / mask.reshape(c, -1).sum(1)[:, None, None])
+
+    want = np.asarray(
+        resample_correlation_map(corr, grids, mask, precision="highest")
+    )
+    got = np.asarray(hat_pallas(corr, grids, mask, a_blk=64, interpret=True))
+    assert np.abs(got - want).max() < 5e-3
