@@ -265,6 +265,16 @@ def get_default_cfg() -> ConfigNode:
                                         # tools/map_sensitivity.py (r2): dmAP
                                         # +0.0000, score delta mean 3e-4
             eval_class_chunk=16,      # classes per head call at eval
+            eval_class_prescreen=True,  # large-catalog prescreen: skip the
+                                        # alignment/resample head for classes
+                                        # whose correlation ceiling is below
+                                        # eval.nms_score_threshold (LOSSLESS:
+                                        # resampled scores are mask-weighted
+                                        # averages of correlations, so
+                                        # max(corr) bounds every score).
+                                        # Active only when the threshold is
+                                        # finite; -inf (the default) keeps
+                                        # every class.
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices

@@ -89,6 +89,21 @@ class Evaluator:
         self.mesh = mesh
         self._decode_cache = {}
 
+    def _decode_cfg_key(self):
+        """Decode-affecting config baked into compiled programs — must be part
+        of every program cache key, or a cfg edit after the first dispatch
+        would silently serve a stale program."""
+        cfg = self.cfg
+        return (
+            float(cfg.eval.nms_iou_threshold),
+            float(cfg.eval.nms_score_threshold),
+            int(cfg.tpu.eval_pre_top_k),
+            int(cfg.tpu.eval_top_k),
+            bool(cfg.eval.nms_across_classes),
+            int(cfg.tpu.eval_class_chunk),
+            str(self.model.config.resample_precision),
+        )
+
     def _shard_class_chunk(self, feats, mask):
         if self.mesh is None:
             return feats, mask
@@ -223,6 +238,7 @@ class Evaluator:
             num_views,
             quantized,
             None if self.mesh is None else self.mesh.devices.size,
+            self._decode_cfg_key(),
         )
         if key not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
@@ -360,6 +376,217 @@ class Evaluator:
                           class_head.pool_mask)
         return fn(params, jnp.asarray(images_u8), feats_bank, q_scales,
                   class_head.pool_mask)
+
+    # ---- prescreened two-phase detection (large catalogs) ----
+    def prescreen_applicable(self, class_head, num_views: int = 1) -> bool:
+        """Lossless class prescreen is available when the decode threshold is
+        finite (scores are mask-weighted averages of correlations, so the
+        per-class correlation ceiling bounds every decodable score), NMS does
+        not cross classes (padded rows must not suppress real ones), the bank
+        is fp32 and no mesh shards the class axis."""
+        from ..models.head import QuantizedClassHead
+
+        return (
+            bool(self.cfg.tpu.get("eval_class_prescreen", True))
+            and np.isfinite(float(self.cfg.eval.nms_score_threshold))
+            and not bool(self.cfg.eval.nms_across_classes)
+            and not isinstance(class_head, QuantizedClassHead)
+            and self.mesh is None
+        )
+
+    def detect_images_prescreened(self, params, images_u8, class_head,
+                                  level_sizes, inverse_scales,
+                                  img_normalization, num_views: int = 1):
+        """Two-phase fused detection for LARGE catalogs (lossless prescreen).
+
+        Phase 1 (one dispatch): pyramid + backbone once, then per-class
+        correlation ceilings max_{anchor, template cell} corr[c] per level.
+        Since the resampled recognition score is a convex combination of
+        correlation values (bilinear weights and the pool mask are
+        non-negative and sum to 1; border clamp only repeats values), a class
+        whose ceiling is <= eval.nms_score_threshold cannot produce a valid
+        detection — decode drops scores <= threshold (engine/decode.py).
+        Phase 2 (one dispatch): alignment + resample + decode on ONLY the
+        surviving classes (padded to a power-of-two number of class chunks to
+        bound recompiles); backbone feature maps stay on device between the
+        phases. Returns the same packed [B, G, K, 6] array as detect_images
+        with pruned classes all-invalid.
+
+        The reference has no analogue — its eval runs every class serially
+        (os2d/engine/evaluate.py:323-331). The ~10x head-cost asymmetry
+        (correlation is <10% of the per-class head cost, BENCH_NOTES.md)
+        makes absent classes nearly free.
+        """
+        feats_bank = class_head.class_feats
+        c_total = feats_bank.shape[0]
+        n_groups = c_total // num_views
+        threshold = float(self.cfg.eval.nms_score_threshold)
+        top_k = int(self.cfg.tpu.eval_top_k)
+        chunk = int(self.cfg.tpu.eval_class_chunk)
+        model = self.model
+        cfg = self.cfg
+
+        key1 = ("prescreen", images_u8.shape, tuple(level_sizes),
+                feats_bank.shape, chunk)  # ceilings don't depend on decode cfg
+        if key1 not in self._decode_cache:
+            from ..models.resnet import resnet_c4_forward
+            from ..ops.geometry import l2_normalize_channels
+
+            n_chunks1 = (c_total + chunk - 1) // chunk
+            c_pad1 = n_chunks1 * chunk
+            mean = jnp.asarray(img_normalization["mean"], jnp.float32)
+            std = jnp.asarray(img_normalization["std"], jnp.float32)
+            sizes = list(level_sizes)
+
+            @jax.jit
+            def prescreen(params, images_u8, class_feats):
+                img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+                n_img = images_u8.shape[0]
+                feats_p = class_feats
+                if c_pad1 != c_total:
+                    feats_p = jnp.concatenate([
+                        feats_p,
+                        jnp.zeros((c_pad1 - c_total,) + feats_p.shape[1:],
+                                  feats_p.dtype),
+                    ])
+                feats_r = feats_p.reshape(
+                    (n_chunks1, chunk) + class_feats.shape[1:])
+                fms = []
+                ceil = jnp.full((c_pad1,), -jnp.inf, jnp.float32)
+                for sz in sizes:
+                    if (sz.h, sz.w) == images_u8.shape[1:3]:
+                        lvl = img
+                    else:
+                        lvl = jax.image.resize(
+                            img, (n_img, sz.h, sz.w, 3), method="bilinear",
+                            antialias=True,
+                        )
+                    fm = resnet_c4_forward(
+                        params["backbone"], lvl, model.config.dtype
+                    )
+                    fms.append(fm)
+                    fmn = l2_normalize_channels(fm, eps=1e-5, axis=-1)
+
+                    def chunk_max(_, feats_i):
+                        corr = jnp.einsum(
+                            "bhwf,cyxf->bchwxy",
+                            fmn.astype(model.config.dtype),
+                            feats_i.astype(model.config.dtype),
+                            preferred_element_type=jnp.float32,
+                        )
+                        # max over batch, anchors and template cells: the
+                        # class subset is shared across the image batch
+                        return None, jnp.max(
+                            corr.reshape(corr.shape[0], chunk, -1),
+                            axis=(0, 2),
+                        )
+
+                    _, m = jax.lax.scan(chunk_max, None, feats_r)
+                    ceil = jnp.maximum(ceil, m.reshape(c_pad1))
+                return tuple(fms), ceil[:c_total]
+
+            self._decode_cache[key1] = prescreen
+
+        fms, ceil = self._decode_cache[key1](
+            params, jnp.asarray(images_u8), feats_bank)
+        # group ceilings over TTA views; small margin guards phase-1/phase-2
+        # einsum fusion ULP differences
+        ceil_groups = np.asarray(ceil).reshape(n_groups, num_views).max(1)
+        sel = np.nonzero(ceil_groups > threshold - 1e-4)[0]
+        n_img = images_u8.shape[0]
+        if sel.size == 0:
+            return np.zeros((n_img, n_groups, top_k, 6), np.float32)
+
+        # pad the surviving rows to a power-of-two chunk count (bounds the
+        # number of compiled phase-2 programs to log2(C / chunk) variants)
+        n_sel_rows = int(sel.size) * num_views
+        n_chunks2 = max(1, -(-n_sel_rows // chunk))
+        n_chunks2 = 1 << (n_chunks2 - 1).bit_length()
+        n_chunks2 = min(n_chunks2, -(-c_total // chunk))
+        c_sel_pad = min(n_chunks2 * chunk, ((c_total + chunk - 1) // chunk) * chunk)
+        n_chunks2 = c_sel_pad // chunk
+
+        row_idx = (sel[:, None] * num_views + np.arange(num_views)).reshape(-1)
+        pad_rows = c_sel_pad - n_sel_rows
+        row_idx_p = np.concatenate([row_idx, np.zeros((pad_rows,), np.int64)])
+        sub_feats = jnp.take(feats_bank, jnp.asarray(row_idx_p), axis=0)
+        sub_mask = jnp.take(class_head.pool_mask, jnp.asarray(row_idx_p), axis=0)
+
+        key2 = ("prescreen_head", images_u8.shape, tuple(level_sizes),
+                tuple(tuple(s) for s in inverse_scales), c_sel_pad, num_views,
+                self._decode_cfg_key())
+        if key2 not in self._decode_cache:
+            from ..models.head import head_forward
+
+            sizes = list(level_sizes)
+            scales = [tuple(s) for s in inverse_scales]
+
+            @jax.jit
+            def head_decode(params, fms, sub_feats, sub_mask):
+                n_img = fms[0].shape[0]
+                feats_r = sub_feats.reshape(
+                    (n_chunks2, chunk) + sub_feats.shape[1:])
+                mask_r = sub_mask.reshape(
+                    (n_chunks2, chunk) + sub_mask.shape[1:])
+                loc_p, cls_p = [], []
+                for fm in fms:
+                    def chunk_body(_, chunk_in):
+                        feats_i, mask_i = chunk_in
+                        out = head_forward(
+                            params["transform_net"], fm,
+                            ClassHead(feats_i, mask_i),
+                            simple_affine=model.config.use_simplified_affine_model,
+                            use_inverse_geom_model=model.config.use_inverse_geom_model,
+                            train_mode=False,
+                            compute_dtype=model.config.dtype,
+                            resample_precision=model.config.resample_precision,
+                        )
+                        return None, (out["loc"], out["cls"])
+
+                    _, (locs, clss) = jax.lax.scan(
+                        chunk_body, None, (feats_r, mask_r))
+                    locs = locs.transpose(1, 0, 2, 3, 4).reshape(
+                        (n_img, c_sel_pad) + locs.shape[3:])
+                    clss = clss.transpose(1, 0, 2, 3).reshape(
+                        (n_img, c_sel_pad) + clss.shape[3:])
+                    loc_p.append(locs)
+                    cls_p.append(clss)
+
+                if num_views > 1:
+                    loc_p = [l[:, v::num_views]
+                             for l in loc_p for v in range(num_views)]
+                    cls_p = [c_[:, v::num_views]
+                             for c_ in cls_p for v in range(num_views)]
+                    sizes_x = [s for s in sizes for _ in range(num_views)]
+                    scales_x = [s for s in scales for _ in range(num_views)]
+                else:
+                    sizes_x, scales_x = sizes, scales
+
+                def _decode_one(loc_list, cls_list):
+                    return decode_pyramid(
+                        loc_list, cls_list, sizes_x, scales_x,
+                        nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
+                        score_threshold=float(cfg.eval.nms_score_threshold),
+                        pre_top_k=int(cfg.tpu.eval_pre_top_k),
+                        top_k=int(cfg.tpu.eval_top_k),
+                        nms_across_classes=False,
+                    )
+
+                out = jax.vmap(_decode_one)(loc_p, cls_p)
+                return jnp.concatenate(
+                    [out["boxes"],
+                     out["scores"][..., None],
+                     out["valid"][..., None].astype(jnp.float32)],
+                    axis=-1,
+                )
+
+            self._decode_cache[key2] = head_decode
+
+        packed = np.asarray(
+            self._decode_cache[key2](params, fms, sub_feats, sub_mask))
+        full = np.zeros((n_img, n_groups, top_k, 6), np.float32)
+        full[:, sel] = packed[:, : sel.size]
+        return full
 
     # ---- decoding ----
     def decode_image(self, level_outputs, image_index: int,
@@ -661,13 +888,26 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     }
                 )
 
+        use_prescreen = evaluator.prescreen_applicable(class_head, num_views)
+        if use_prescreen:
+            logger.info(
+                "eval path: fused two-phase (lossless class prescreen at "
+                f"score threshold {float(cfg.eval.nms_score_threshold)})"
+            )
+
         pending = None
         for (batch_ids, dev_images, level_sizes, inv_scales, initial_sizes) in (
                 _prefetched_items()):
-            packed = evaluator.detect_images(
-                params, dev_images, class_head, level_sizes,
-                inv_scales[0], img_norm, num_views=num_views,
-            )
+            if use_prescreen:
+                packed = evaluator.detect_images_prescreened(
+                    params, dev_images, class_head, level_sizes,
+                    inv_scales[0], img_norm, num_views=num_views,
+                )
+            else:
+                packed = evaluator.detect_images(
+                    params, dev_images, class_head, level_sizes,
+                    inv_scales[0], img_norm, num_views=num_views,
+                )
             if pending is not None:
                 _finalize(*pending)
             pending = (batch_ids, initial_sizes, packed)

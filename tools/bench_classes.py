@@ -6,7 +6,11 @@ VERDICT r1 item 5 target: < 3 s/image single-chip via the scan-based fused
 program (+ optional int8 bank).
 
 Run: python tools/bench_classes.py [C ...]  (default 256 1024)
-Env: OS2D_CHUNK (default 128), OS2D_INT8=1 for the quantized bank.
+Env: OS2D_CHUNK (default 128), OS2D_INT8=1 for the quantized bank,
+OS2D_PRESENT=<K> to build a mixed bank (K near-duplicate "present" classes +
+C-K one-hot "absent" classes) and ALSO time the lossless class-prescreen
+path (cfg.tpu.eval_class_prescreen at eval.nms_score_threshold=0.45, the
+serving default) against the full path on the same bank.
 """
 
 import os
@@ -60,10 +64,23 @@ def main():
 
     from os2d_tpu.models.head import ClassHead
 
+    n_present = int(os.environ.get("OS2D_PRESENT", "0"))
+
     for c in counts:
-        feats = jnp.tile(base_head.class_feats, (c, 1, 1, 1))
-        feats = feats + 0.01 * jax.random.normal(
-            jax.random.PRNGKey(1), feats.shape, feats.dtype)
+        if n_present:
+            # mixed bank: n_present near-duplicates of the template (high
+            # correlation ceilings) + one-hot "absent" classes (low ceilings)
+            feats = jnp.tile(base_head.class_feats, (n_present, 1, 1, 1))
+            feats = feats + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(1), feats.shape, feats.dtype)
+            absent = np.zeros((c - n_present, 15, 15, 1024), np.float32)
+            for k in range(c - n_present):
+                absent[k, :, :, k % 1024] = 1.0
+            feats = jnp.concatenate([feats, jnp.asarray(absent)])
+        else:
+            feats = jnp.tile(base_head.class_feats, (c, 1, 1, 1))
+            feats = feats + 0.01 * jax.random.normal(
+                jax.random.PRNGKey(1), feats.shape, feats.dtype)
         head = ClassHead(feats, jnp.tile(base_head.pool_mask, (c, 1, 1)))
         if use_int8:
             head = quantize_class_head(head)
@@ -85,6 +102,30 @@ def main():
         print(f"C={c} chunk={chunk} int8={use_int8}: {med:.2f} s/image "
               f"(compile {compile_s:.0f}s, runs {[round(t, 2) for t in times]})",
               flush=True)
+
+        if n_present and not use_int8:
+            cfg.eval.nms_score_threshold = 0.45
+
+            def run_pre(image):
+                return evaluator.detect_images_prescreened(
+                    params, image[None] if image.ndim == 3 else image,
+                    head, level_sizes, inverse_scales, img_norm)
+
+            t0 = time.time()
+            out = run_pre(dev)
+            compile_s = time.time() - t0
+            kept = int((out[0, :, :, 5] > 0.5).any(-1).sum())
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                run_pre(dev)
+                times.append(time.time() - t0)
+            med = float(np.median(times))
+            print(f"C={c} PRESCREEN(thr=0.45, {n_present} present, "
+                  f"{kept} rows kept): {med:.2f} s/image "
+                  f"(compile {compile_s:.0f}s, runs {[round(t, 2) for t in times]})",
+                  flush=True)
+            cfg.eval.nms_score_threshold = float("-inf")
 
 
 if __name__ == "__main__":
