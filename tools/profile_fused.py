@@ -50,10 +50,11 @@ def capture(n=3, logdir="/tmp/os2d_xprof"):
     inverse_scales = [(IMG_W / sz.w, IMG_H / sz.h) for sz in level_sizes]
     img_norm = {"mean": model_cfg.normalization_mean,
                 "std": model_cfg.normalization_std}
-    img = rng.randint(0, 255, (IMG_H, IMG_W, 3), np.uint8)
+    batch = int(os.environ.get("OS2D_PROFILE_BATCH", "2"))
+    img = rng.randint(0, 255, (batch, IMG_H, IMG_W, 3), np.uint8)
 
     def run(image):
-        det = evaluator.detect_single_image(
+        det = evaluator.detect_images(
             params, image, class_head, level_sizes, inverse_scales, img_norm)
         return np.asarray(det)
 
@@ -85,6 +86,24 @@ def analyze(logdir):
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         metadata = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        # per-line report first: the compute core and the async-DMA queues are
+        # separate lines — flat aggregation double-counts overlapped copies
+        print(f"\n==== plane: {plane.name} — per line ====")
+        for line in plane.lines:
+            if not line.events:
+                continue
+            tot = sum(ev.duration_ps for ev in line.events) / 1e12 * 1000
+            span = (max(ev.offset_ps + ev.duration_ps for ev in line.events)
+                    - min(ev.offset_ps for ev in line.events)) / 1e12 * 1000
+            names = {}
+            for ev in line.events:
+                nm = metadata.get(ev.metadata_id, "?")
+                names[nm] = names.get(nm, 0.0) + ev.duration_ps
+            top = sorted(names.items(), key=lambda kv: -kv[1])[:4]
+            top_s = "; ".join(f"{nm.split(' = ')[0][:40]} {t/1e12*1000:.1f}ms"
+                              for nm, t in top)
+            print(f"  line '{line.name}': {len(line.events)} ev, busy "
+                  f"{tot:.1f} ms over span {span:.1f} ms | top: {top_s}")
         by_name = {}
         n_events = 0
         for line in plane.lines:
