@@ -262,6 +262,7 @@ class DynamicBatcher:
 
     def __init__(self, service: DetectionService, max_batch: int = 8,
                  max_wait_ms: float = 10.0):
+        import collections
         import queue
         import threading
 
@@ -269,6 +270,10 @@ class DynamicBatcher:
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self._queue: "queue.Queue" = queue.Queue()
+        # requests pulled out of a window whose catalog differed from the
+        # window's head; served FIRST next round (FIFO — re-queuing them at
+        # the tail would let a sustained majority-catalog stream starve them)
+        self._deferred = collections.deque()
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -277,6 +282,8 @@ class DynamicBatcher:
         """Blocking: enqueue and wait for the grouped result."""
         import threading
 
+        if self._closed:
+            raise RuntimeError("DynamicBatcher is closed")
         done = threading.Event()
         slot = {"result": None, "error": None}
         sig = self.service.queries_signature(queries)
@@ -289,7 +296,24 @@ class DynamicBatcher:
     def close(self):
         self._closed = True
         self._queue.put(None)  # wake the worker
-        self._worker.join(timeout=5)
+        self._worker.join(timeout=30)
+        # fail any requests the worker left behind instead of letting their
+        # detect() calls block forever
+        import queue
+
+        err = RuntimeError("DynamicBatcher closed before request was served")
+        leftovers = list(self._deferred)
+        self._deferred.clear()
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                leftovers.append(item)
+        for item in leftovers:
+            item[3]["error"] = err
+            item[4].set()
 
     # ---- worker ----
     def _run(self):
@@ -297,13 +321,23 @@ class DynamicBatcher:
         import time
 
         while not self._closed:
-            head = self._queue.get()
-            if head is None:
-                continue
+            if self._deferred:
+                head = self._deferred.popleft()
+            else:
+                head = self._queue.get()
+                if head is None:
+                    continue
             group = [head]
             deadline = time.monotonic() + self.max_wait_s
-            leftovers = []
-            # gather same-signature requests until the window closes
+            # absorb same-catalog deferred requests first, then gather from
+            # the live queue until the window closes
+            i = 0
+            while i < len(self._deferred) and len(group) < self.max_batch:
+                if self._deferred[i][0] == head[0]:
+                    group.append(self._deferred[i])
+                    del self._deferred[i]
+                else:
+                    i += 1
             while len(group) < self.max_batch:
                 timeout = deadline - time.monotonic()
                 if timeout <= 0:
@@ -317,17 +351,16 @@ class DynamicBatcher:
                 if item[0] == head[0]:
                     group.append(item)
                 else:
-                    leftovers.append(item)
-            for item in leftovers:  # different catalogs: back to the queue
-                self._queue.put(item)
+                    self._deferred.append(item)
 
             images = [g[1] for g in group]
             queries = group[0][2]
             try:
-                if len(group) == 1:
-                    results = [self.service.detect(images[0], queries)]
-                else:
-                    results = self.service.detect_batch(images, queries)
+                # always the batched path, even for a group of one: detect()
+                # (aspect-preserving resize) and detect_batch() (shared
+                # square canvas) differ numerically at the margins, and a
+                # request's result must not depend on concurrent traffic
+                results = self.service.detect_batch(images, queries)
                 for g, res in zip(group, results):
                     g[3]["result"] = res
                     g[4].set()

@@ -73,6 +73,87 @@ def augment_class_images(class_images: List[np.ndarray], mode: str):
     return [np.ascontiguousarray(v) for v in views], num_views
 
 
+def _scan_head_chunks(model_config, tn_params, fm, feats_r, mask_r,
+                      qs_r=None):
+    """lax.scan the class-chunk head over one level's feature maps.
+
+    feats_r/mask_r are chunked [n_chunks, chunk, ...]; qs_r (optional) are
+    int8-bank dequant scales [n_chunks, chunk]. Returns
+    (locs [B, n_chunks*chunk, 4, A], clss [B, n_chunks*chunk, A]).
+    Shared by the one-phase fused program and phase 2 of the prescreened
+    path — keep them from drifting.
+    """
+    from ..models.head import head_forward
+
+    n_img = fm.shape[0]
+    quantized = qs_r is not None
+
+    def chunk_body(_, chunk_in):
+        if quantized:
+            feats_i, scales_i, mask_i = chunk_in
+            feats_i = feats_i.astype(jnp.float32) * scales_i[
+                :, None, None, None
+            ]
+        else:
+            feats_i, mask_i = chunk_in
+        out = head_forward(
+            tn_params, fm, ClassHead(feats_i, mask_i),
+            simple_affine=model_config.use_simplified_affine_model,
+            use_inverse_geom_model=model_config.use_inverse_geom_model,
+            train_mode=False,
+            compute_dtype=model_config.dtype,
+            resample_precision=model_config.resample_precision,
+        )
+        return None, (out["loc"], out["cls"])
+
+    xs = (feats_r, qs_r, mask_r) if quantized else (feats_r, mask_r)
+    # scan yields [n_chunks, B, chunk, ...] -> [B, C, ...]
+    _, (locs, clss) = jax.lax.scan(chunk_body, None, xs)
+    c_pad = feats_r.shape[0] * feats_r.shape[1]
+    locs = locs.transpose(1, 0, 2, 3, 4).reshape((n_img, c_pad) + locs.shape[3:])
+    clss = clss.transpose(1, 0, 2, 3).reshape((n_img, c_pad) + clss.shape[3:])
+    return locs, clss
+
+
+def _decode_and_pack(loc_p, cls_p, sizes, scales, num_views, cfg,
+                     nms_across_classes):
+    """View-split + vmapped pyramid decode + ONE packed [B, G, K, 6] array.
+
+    loc_p/cls_p rows must already be trimmed to a multiple of num_views
+    (views of one class are contiguous; the v::num_views split treats each
+    view as an extra pyramid level for joint per-class NMS).
+    """
+    if num_views > 1:
+        assert loc_p[0].shape[1] % num_views == 0, (
+            loc_p[0].shape, num_views)
+        loc_p = [l[:, v::num_views] for l in loc_p for v in range(num_views)]
+        cls_p = [c_[:, v::num_views] for c_ in cls_p for v in range(num_views)]
+        sizes_x = [s for s in sizes for _ in range(num_views)]
+        scales_x = [s for s in scales for _ in range(num_views)]
+    else:
+        sizes_x, scales_x = sizes, scales
+
+    def _decode_one(loc_list, cls_list):
+        return decode_pyramid(
+            loc_list, cls_list, sizes_x, scales_x,
+            nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
+            score_threshold=float(cfg.eval.nms_score_threshold),
+            pre_top_k=int(cfg.tpu.eval_pre_top_k),
+            top_k=int(cfg.tpu.eval_top_k),
+            nms_across_classes=nms_across_classes,
+        )
+
+    out = jax.vmap(_decode_one)(loc_p, cls_p)
+    # pack into ONE array so the caller pays the tunnel's device->host
+    # latency (~18 ms/transfer over axon) once, not once per leaf
+    return jnp.concatenate(
+        [out["boxes"],
+         out["scores"][..., None],
+         out["valid"][..., None].astype(jnp.float32)],
+        axis=-1,
+    )
+
+
 class Evaluator:
     """Caches jitted decode specializations per pyramid-shape signature.
 
@@ -242,7 +323,6 @@ class Evaluator:
         )
         if key not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
-            from ..models.head import head_forward
 
             model = self.model
             cfg = self.cfg
@@ -301,70 +381,16 @@ class Evaluator:
                     fm = resnet_c4_forward(
                         params["backbone"], lvl, model.config.dtype
                     )
-
-                    def chunk_body(_, chunk_in):
-                        if quantized:
-                            feats_i, scales_i, mask_i = chunk_in
-                            feats_i = feats_i.astype(jnp.float32) * scales_i[
-                                :, None, None, None
-                            ]
-                        else:
-                            feats_i, mask_i = chunk_in
-                        out = head_forward(
-                            params["transform_net"], fm,
-                            ClassHead(feats_i, mask_i),
-                            simple_affine=model.config.use_simplified_affine_model,
-                            use_inverse_geom_model=model.config.use_inverse_geom_model,
-                            train_mode=False,
-                            compute_dtype=model.config.dtype,
-                            resample_precision=model.config.resample_precision,
-                        )
-                        return None, (out["loc"], out["cls"])
-
-                    xs = (
-                        (feats_r, qs_r, mask_r) if quantized
-                        else (feats_r, mask_r)
-                    )
-                    # scan yields [n_chunks, B, chunk, ...] -> [B, C, ...]
-                    _, (locs, clss) = jax.lax.scan(chunk_body, None, xs)
-                    locs = locs.transpose(1, 0, 2, 3, 4).reshape(
-                        (n_img, c_pad) + locs.shape[3:]
-                    )
-                    clss = clss.transpose(1, 0, 2, 3).reshape(
-                        (n_img, c_pad) + clss.shape[3:]
+                    locs, clss = _scan_head_chunks(
+                        model.config, params["transform_net"], fm,
+                        feats_r, mask_r, qs_r if quantized else None,
                     )
                     loc_p.append(locs[:, :c_total])
                     cls_p.append(clss[:, :c_total])
 
-                if num_views > 1:
-                    loc_p = [l[:, v::num_views]
-                             for l in loc_p for v in range(num_views)]
-                    cls_p = [c_[:, v::num_views]
-                             for c_ in cls_p for v in range(num_views)]
-                    sizes_x = [s for s in sizes for _ in range(num_views)]
-                    scales_x = [s for s in scales for _ in range(num_views)]
-                else:
-                    sizes_x, scales_x = sizes, scales
-
-                def _decode_one(loc_list, cls_list):
-                    return decode_pyramid(
-                        loc_list, cls_list, sizes_x, scales_x,
-                        nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
-                        score_threshold=float(cfg.eval.nms_score_threshold),
-                        pre_top_k=int(cfg.tpu.eval_pre_top_k),
-                        top_k=int(cfg.tpu.eval_top_k),
-                        nms_across_classes=bool(cfg.eval.nms_across_classes),
-                    )
-
-                out = jax.vmap(_decode_one)(loc_p, cls_p)
-                # pack into ONE array so the caller pays the tunnel's
-                # device->host latency (~18 ms/transfer over axon) once,
-                # not once per leaf (profiled: tools/profile_fused.py r2)
-                return jnp.concatenate(
-                    [out["boxes"],
-                     out["scores"][..., None],
-                     out["valid"][..., None].astype(jnp.float32)],
-                    axis=-1,
+                return _decode_and_pack(
+                    loc_p, cls_p, sizes, scales, num_views, cfg,
+                    bool(cfg.eval.nms_across_classes),
                 )
 
             self._decode_cache[key] = detect
@@ -489,10 +515,13 @@ class Evaluator:
 
         fms, ceil = self._decode_cache[key1](
             params, jnp.asarray(images_u8), feats_bank)
-        # group ceilings over TTA views; small margin guards phase-1/phase-2
-        # einsum fusion ULP differences
+        # group ceilings over TTA views; the margin guards phase-1/phase-2
+        # numeric differences: einsum fusion ULPs for the fp32 tiers, the
+        # ~4e-3 fixed-point rounding of the 'int8' resample tier (x127
+        # round can push a score slightly ABOVE the fp32 ceiling)
+        margin = 6e-3 if self.model.config.resample_precision == "int8" else 1e-4
         ceil_groups = np.asarray(ceil).reshape(n_groups, num_views).max(1)
-        sel = np.nonzero(ceil_groups > threshold - 1e-4)[0]
+        sel = np.nonzero(ceil_groups > threshold - margin)[0]
         n_img = images_u8.shape[0]
         if sel.size == 0:
             return np.zeros((n_img, n_groups, top_k, 6), np.float32)
@@ -516,68 +545,31 @@ class Evaluator:
                 tuple(tuple(s) for s in inverse_scales), c_sel_pad, num_views,
                 self._decode_cfg_key())
         if key2 not in self._decode_cache:
-            from ..models.head import head_forward
-
             sizes = list(level_sizes)
             scales = [tuple(s) for s in inverse_scales]
+            # c_sel_pad need not divide num_views (chunk-granular padding);
+            # trim to the largest view-aligned row count — real rows are
+            # sel.size * num_views <= this by construction
+            g_rows = (c_sel_pad // num_views) * num_views
 
             @jax.jit
             def head_decode(params, fms, sub_feats, sub_mask):
-                n_img = fms[0].shape[0]
                 feats_r = sub_feats.reshape(
                     (n_chunks2, chunk) + sub_feats.shape[1:])
                 mask_r = sub_mask.reshape(
                     (n_chunks2, chunk) + sub_mask.shape[1:])
                 loc_p, cls_p = [], []
                 for fm in fms:
-                    def chunk_body(_, chunk_in):
-                        feats_i, mask_i = chunk_in
-                        out = head_forward(
-                            params["transform_net"], fm,
-                            ClassHead(feats_i, mask_i),
-                            simple_affine=model.config.use_simplified_affine_model,
-                            use_inverse_geom_model=model.config.use_inverse_geom_model,
-                            train_mode=False,
-                            compute_dtype=model.config.dtype,
-                            resample_precision=model.config.resample_precision,
-                        )
-                        return None, (out["loc"], out["cls"])
-
-                    _, (locs, clss) = jax.lax.scan(
-                        chunk_body, None, (feats_r, mask_r))
-                    locs = locs.transpose(1, 0, 2, 3, 4).reshape(
-                        (n_img, c_sel_pad) + locs.shape[3:])
-                    clss = clss.transpose(1, 0, 2, 3).reshape(
-                        (n_img, c_sel_pad) + clss.shape[3:])
-                    loc_p.append(locs)
-                    cls_p.append(clss)
-
-                if num_views > 1:
-                    loc_p = [l[:, v::num_views]
-                             for l in loc_p for v in range(num_views)]
-                    cls_p = [c_[:, v::num_views]
-                             for c_ in cls_p for v in range(num_views)]
-                    sizes_x = [s for s in sizes for _ in range(num_views)]
-                    scales_x = [s for s in scales for _ in range(num_views)]
-                else:
-                    sizes_x, scales_x = sizes, scales
-
-                def _decode_one(loc_list, cls_list):
-                    return decode_pyramid(
-                        loc_list, cls_list, sizes_x, scales_x,
-                        nms_iou_threshold=float(cfg.eval.nms_iou_threshold),
-                        score_threshold=float(cfg.eval.nms_score_threshold),
-                        pre_top_k=int(cfg.tpu.eval_pre_top_k),
-                        top_k=int(cfg.tpu.eval_top_k),
-                        nms_across_classes=False,
+                    locs, clss = _scan_head_chunks(
+                        model.config, params["transform_net"], fm,
+                        feats_r, mask_r,
                     )
-
-                out = jax.vmap(_decode_one)(loc_p, cls_p)
-                return jnp.concatenate(
-                    [out["boxes"],
-                     out["scores"][..., None],
-                     out["valid"][..., None].astype(jnp.float32)],
-                    axis=-1,
+                    loc_p.append(locs[:, :g_rows])
+                    cls_p.append(clss[:, :g_rows])
+                # padded duplicate rows must not suppress real ones, so the
+                # prescreen is gated off under nms_across_classes
+                return _decode_and_pack(
+                    loc_p, cls_p, sizes, scales, num_views, cfg, False,
                 )
 
             self._decode_cache[key2] = head_decode
@@ -613,6 +605,7 @@ class Evaluator:
             tuple(img_sizes),
             tuple(x.shape for x in loc_pyramid),
             tuple(inverse_scales),
+            self._decode_cfg_key(),
         )
         if key not in self._decode_cache:
             sizes = list(img_sizes)

@@ -510,7 +510,7 @@ def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
     for dataloader in dataloaders_eval:
         if dataloader is not None:
             meters_all[dataloader.get_name()] = evaluate(
-                dataloader, model, params, cfg,
+                dataloader, model, params, cfg, criterion=criterion,
                 print_per_class_results=print_per_class_results,
                 mesh=mesh,
             )

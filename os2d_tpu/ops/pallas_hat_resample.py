@@ -1,6 +1,8 @@
-"""Pallas TPU kernel: fused hat-matmul resample + masked pool of the
-correlation tensor (the model's hot op; see ops/sampling.py for the XLA
-formulation and os2d/modeling/head.py:438-520 for the reference op).
+"""EXPERIMENTAL Pallas TPU kernel — NOT on any production path.
+
+Fused hat-matmul resample + masked pool of the correlation tensor (the
+model's hot op; see ops/sampling.py for the XLA formulation that production
+uses, and os2d/modeling/head.py:438-520 for the reference op).
 
 The XLA path materializes the per-axis hat-weight tensors
 Wy[b,c,t,a,h] / Wx[b,c,t,a,w] in HBM between the two einsums; this kernel
@@ -19,8 +21,12 @@ path's precision='default' tier) plus a VPU hat/row-reduce. No gather
 anywhere — this sidesteps the toolchain's tpu.dynamic_gather hang
 (BENCH_NOTES.md round 1).
 
-EVAL-ONLY: no custom VJP is defined; head_forward falls back to the XLA
-path in train mode (same policy as the 'int8' tier).
+STATUS (BENCH_NOTES.md round 2): compiles and matches numerically, but
+MEASURED SLOWER than the XLA batched-einsum path on this toolchain (~40 vs
+~9 ms device at C=16, fm 96x128): the per-point [A_BLK, H] x [H, W] matmuls
+are too small to fill the MXU and the template loop serializes on the
+accumulator. Kept as a documented negative result with an interpret-mode
+parity test (tests/test_pallas_resample.py); nothing imports it at runtime.
 """
 
 from __future__ import annotations
@@ -66,10 +72,10 @@ def _hat_resample_kernel(corr_ref, py_ref, px_ref, out_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("a_blk", "interpret"))
-def resample_correlation_map_pallas(corr, grids_unit, pool_mask,
-                                    a_blk: int = 1024,
-                                    interpret: bool = False):
-    """Drop-in for ops.sampling.resample_correlation_map (same contract):
+def hat_resample_correlation_map_pallas(corr, grids_unit, pool_mask,
+                                        a_blk: int = 1024,
+                                        interpret: bool = False):
+    """Same contract as ops.sampling.resample_correlation_map:
 
     corr:       [B, C, H, W, T] correlation maps, T-channel = tx * th + ty
     grids_unit: [B, C, H, W, th, tw, 2] unit grids, pre-clamped to [-1, 1]

@@ -44,7 +44,7 @@ def test_pallas_hat_resample_matches_xla(b, c, h, w):
     """Interpret-mode parity of the fused hat-matmul kernel
     (ops/pallas_hat_resample.py; bf16 matmul -> 'default'-tier error)."""
     from os2d_tpu.ops.pallas_hat_resample import (
-        resample_correlation_map_pallas as hat_pallas,
+        hat_resample_correlation_map_pallas as hat_pallas,
     )
 
     rng = np.random.RandomState(1)

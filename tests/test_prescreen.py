@@ -153,3 +153,33 @@ def test_evaluate_routes_through_prescreen(tmp_path):
     cfg.eval.nms_score_threshold = 0.5  # planted patches score ~1.0
     pre = evaluate(loader, model, params, cfg)
     assert pre["mAP@0.50"] == base["mAP@0.50"] == 1.0, (base, pre)
+
+
+def test_prescreen_with_tta_views(setup):
+    """Class TTA (num_views=4) with a chunk size that does NOT divide the
+    padded row count: the view-split must trim to view-aligned rows
+    (regression for a shape-mismatch crash) and match the full path."""
+    cfg, model, params, scene, head, sizes, inv, norm = setup
+    from os2d_tpu.engine.evaluate import augment_class_images
+
+    # expand 2 base classes into rotation90 views -> 8 rows, chunk=3 so the
+    # padded row count (9) is not a multiple of num_views
+    feats = np.asarray(head.class_feats[:2])
+    views = []
+    for f in feats:
+        views += [f, np.rot90(f, 1, (0, 1)), np.rot90(f, 2, (0, 1)),
+                  np.rot90(f, 3, (0, 1))]
+    mask = np.tile(np.asarray(head.pool_mask[:1]), (8, 1, 1))
+    tta_head = ClassHead(jnp.asarray(np.stack(views)), jnp.asarray(mask))
+
+    cfg.tpu.eval_class_chunk = 3
+    cfg.eval.nms_score_threshold = -1.0  # finite, keeps every class
+    ev = Evaluator(model, cfg)
+    full = np.asarray(ev.detect_images(
+        params, scene[None], tta_head, sizes, inv, norm, num_views=4))
+    pre = ev.detect_images_prescreened(
+        params, scene[None], tta_head, sizes, inv, norm, num_views=4)
+    assert pre.shape == full.shape == (1, 2, cfg.tpu.eval_top_k, 6)
+    _assert_rows_equal(full, pre)
+    cfg.eval.nms_score_threshold = float("-inf")
+    cfg.tpu.eval_class_chunk = 2
