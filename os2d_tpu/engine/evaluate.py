@@ -154,6 +154,69 @@ def _decode_and_pack(loc_p, cls_p, sizes, scales, num_views, cfg,
     )
 
 
+def _eval_losses_device(objective_cfg, cfg, loc_p, cls_p, d_boxes_levels,
+                        gt_boxes, gt_labels, gt_difficult, gt_valid):
+    """On-device eval loss metrics for an image batch (jit-compatible).
+
+    Device-side equivalent of compute_eval_losses_for_image: per level,
+    encode GT against default boxes in ORIGINAL coordinates and remap with
+    the predicted locs; then run the objective PER IMAGE (batch of one each,
+    matching the reference's per-image loss averaging, evaluate.py:99-135).
+
+    Args:
+      loc_p/cls_p: per level [B, C_rows, 4, A_l] / [B, C_rows, A_l]
+        (raw rows, views NOT merged — under TTA, GT labels must already be
+        mapped to each class's view-0 row by the caller).
+      d_boxes_levels: per level [A_l, 4] anchors in original coordinates.
+      gt_*: [B, G] padded ground truth (boxes in original coordinates).
+    Returns (sorted_keys, losses [B, K]).
+    """
+    from .objective import compute_objective
+    from .targets import encode_targets_single_image, remap_targets
+
+    num_labels = loc_p[0].shape[1]
+    loc_t, cls_t, cls_r = [], [], []
+    for i_p in range(len(loc_p)):
+        d_boxes = d_boxes_levels[i_p]
+        lt, ct = jax.vmap(
+            lambda gb, gl, gd, gv, db=d_boxes: encode_targets_single_image(
+                gb, gl, gd, gv, db, num_labels,
+                cfg.train.objective.positive_iou_threshold,
+                cfg.train.objective.negative_iou_threshold,
+            )
+        )(gt_boxes, gt_labels, gt_difficult, gt_valid)
+        cr, _, _ = remap_targets(
+            loc_p[i_p], gt_boxes, gt_labels, gt_difficult, gt_valid,
+            d_boxes,
+            cfg.train.objective.remap_classification_targets_iou_pos,
+            cfg.train.objective.remap_classification_targets_iou_neg,
+        )
+        loc_t.append(lt)
+        cls_t.append(ct)
+        cls_r.append(cr)
+
+    loc_p_c = jnp.concatenate(loc_p, axis=3)
+    loc_t_c = jnp.concatenate(loc_t, axis=3)
+    cls_p_c = jnp.concatenate(cls_p, axis=2)
+    cls_t_c = jnp.concatenate(cls_t, axis=2)
+    cls_r_c = jnp.concatenate(cls_r, axis=2)
+
+    def one_image(lp, lt, cp, ct, cr):
+        losses, _ = compute_objective(
+            objective_cfg, lp[None], lt[None], cp[None], ct[None],
+            cls_targets_remapped=cr[None],
+        )
+        keys = sorted(k for k, v in losses.items() if jnp.ndim(v) == 0)
+        return jnp.stack([losses[k] for k in keys]), keys
+
+    keys = one_image(loc_p_c[0], loc_t_c[0], cls_p_c[0], cls_t_c[0],
+                     cls_r_c[0])[1]
+    stacked = jax.vmap(
+        lambda lp, lt, cp, ct, cr: one_image(lp, lt, cp, ct, cr)[0]
+    )(loc_p_c, loc_t_c, cls_p_c, cls_t_c, cls_r_c)
+    return keys, stacked
+
+
 class Evaluator:
     """Caches jitted decode specializations per pyramid-shape signature.
 
@@ -287,7 +350,7 @@ class Evaluator:
 
     def detect_images(self, params, images_u8, class_head,
                       level_sizes, inverse_scales, img_normalization,
-                      num_views: int = 1):
+                      num_views: int = 1, objective_cfg=None, gt=None):
         """ONE jitted program per signature: uint8 image batch [B, H, W, 3]
         in -> top-K detections out as a single packed [B, G, K, 6] array
         (x1, y1, x2, y2, score, valid) — unpack on host with
@@ -303,9 +366,16 @@ class Evaluator:
         bank stays int8 in HBM and each chunk dequantizes inside the scan
         body. With a mesh, the chunk's class axis shards over the mesh (each
         chip correlates against its slice of every chunk; the TPU replacement
-        for the reference's serial per-class loop, evaluate.py:226-331)."""
+        for the reference's serial per-class loop, evaluate.py:226-331).
+
+        With `objective_cfg` + `gt` (padded dict: boxes [B, G, 4] in
+        original coordinates, labels [B, G] view-0 row ids, difficult/valid
+        [B, G]), the SAME program also encodes targets, remaps and computes
+        per-image loss metrics on device, returning (packed, keys,
+        losses [B, K]) — the fused replacement for the chunked loss path."""
         from ..models.head import QuantizedClassHead
 
+        with_losses = objective_cfg is not None
         quantized = isinstance(class_head, QuantizedClassHead)
         feats_bank = (
             class_head.class_feats_q if quantized else class_head.class_feats
@@ -320,9 +390,11 @@ class Evaluator:
             quantized,
             None if self.mesh is None else self.mesh.devices.size,
             self._decode_cfg_key(),
+            (objective_cfg, gt["boxes"].shape) if with_losses else None,
         )
         if key not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
+            from .decode import default_boxes_for_image_size
 
             model = self.model
             cfg = self.cfg
@@ -346,8 +418,17 @@ class Evaluator:
                     [x, jnp.zeros((c_pad - c_total,) + x.shape[1:], x.dtype)]
                 )
 
+            if with_losses:
+                d_boxes_levels = [
+                    jnp.asarray(default_boxes_for_image_size(sz))
+                    * jnp.asarray([sx, sy, sx, sy], jnp.float32)
+                    for sz, (sx, sy) in zip(sizes, scales)
+                ]
+                loss_keys = []  # filled at trace time
+
             @jax.jit
-            def detect(params, images_u8, class_feats, q_scales, pool_mask):
+            def detect(params, images_u8, class_feats, q_scales, pool_mask,
+                       gt_boxes, gt_labels, gt_difficult, gt_valid):
                 img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
                 feats_r = _pad_c(class_feats).reshape(
                     (n_chunks, chunk) + class_feats.shape[1:]
@@ -388,20 +469,41 @@ class Evaluator:
                     loc_p.append(locs[:, :c_total])
                     cls_p.append(clss[:, :c_total])
 
-                return _decode_and_pack(
+                packed = _decode_and_pack(
                     loc_p, cls_p, sizes, scales, num_views, cfg,
                     bool(cfg.eval.nms_across_classes),
                 )
+                if not with_losses:
+                    return packed
+                keys, losses = _eval_losses_device(
+                    objective_cfg, cfg, loc_p, cls_p, d_boxes_levels,
+                    gt_boxes, gt_labels, gt_difficult, gt_valid,
+                )
+                if not loss_keys:
+                    loss_keys.extend(keys)
+                return packed, losses
 
-            self._decode_cache[key] = detect
+            self._decode_cache[key] = (
+                detect, loss_keys if with_losses else None)
         q_scales = class_head.scales if quantized else jnp.zeros((0,), jnp.float32)
-        fn = self._decode_cache[key]
+        fn, loss_keys = self._decode_cache[key]
+        if with_losses:
+            gt_args = (jnp.asarray(gt["boxes"]), jnp.asarray(gt["labels"]),
+                       jnp.asarray(gt["difficult"]), jnp.asarray(gt["valid"]))
+        else:
+            z = jnp.zeros((0,), jnp.float32)
+            gt_args = (z, z, z, z)
+        args = (params, jnp.asarray(images_u8), feats_bank, q_scales,
+                class_head.pool_mask) + gt_args
         if self.mesh is not None:
             with self.mesh:
-                return fn(params, jnp.asarray(images_u8), feats_bank, q_scales,
-                          class_head.pool_mask)
-        return fn(params, jnp.asarray(images_u8), feats_bank, q_scales,
-                  class_head.pool_mask)
+                out = fn(*args)
+        else:
+            out = fn(*args)
+        if with_losses:
+            packed, losses = out
+            return packed, list(loss_keys), losses
+        return out
 
     # ---- prescreened two-phase detection (large catalogs) ----
     def prescreen_applicable(self, class_head, num_views: int = 1) -> bool:
@@ -729,17 +831,17 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
 
     use_device_pyramid = bool(cfg.tpu.get("device_side_pyramid", True))
     viz_cfg = cfg.visualization.eval
-    # TWO eval paths (the fused one scans class chunks on device, so class
-    # count / int8 bank / mesh no longer force the slow path):
-    #   fused:   one jitted dispatch per image (uint8 in -> detections out)
+    # TWO eval paths (the fused one scans class chunks on device and computes
+    # loss metrics on device, so class count / int8 bank / mesh / criterion
+    # no longer force the slow path):
+    #   fused:   one jitted dispatch per image batch (uint8 in -> detections
+    #            [+ per-image losses] out)
     #   chunked: per-level, per-chunk dispatches; needed when raw level scores
-    #            must come back to the host (loss metrics, heatmaps) or images
-    #            batch together (batch_size > 1)
+    #            must come back to the host (heatmaps) or device-side pyramids
+    #            are disabled
     fused_blockers = []
     if not use_device_pyramid:
         fused_blockers.append("cfg.tpu.device_side_pyramid=False")
-    if criterion is not None:
-        fused_blockers.append("eval loss metrics requested (criterion)")
     if viz_cfg.show_class_heatmaps:
         fused_blockers.append("show_class_heatmaps needs raw level scores")
     use_fused = not fused_blockers
@@ -881,12 +983,47 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     }
                 )
 
-        use_prescreen = evaluator.prescreen_applicable(class_head, num_views)
+        # loss metrics need every class row's scores (negatives contribute),
+        # so the prescreen is bypassed when a criterion is requested
+        use_prescreen = (criterion is None
+                         and evaluator.prescreen_applicable(class_head, num_views))
         if use_prescreen:
             logger.info(
                 "eval path: fused two-phase (lossless class prescreen at "
                 f"score threshold {float(cfg.eval.nms_score_threshold)})"
             )
+
+        loss_sums = {}
+        num_loss_images = 0
+        g_pad = 8
+        if criterion is not None:
+            # one padded GT shape for the whole dataset = one compiled program
+            for iid in dataloader.dataset.image_ids:
+                ann = dataloader.dataset.get_image_annotation_for_imageid(iid)
+                g_pad = max(g_pad, len(ann))
+            g_pad = ((g_pad + 7) // 8) * 8
+
+        def _gt_batch(batch_ids_b):
+            """Padded device GT for a batch (labels mapped to view-0 rows)."""
+            n = batch_size
+            gb = np.zeros((n, g_pad, 4), np.float32)
+            gl = np.full((n, g_pad), -1, np.int32)
+            gd = np.zeros((n, g_pad), bool)
+            gv = np.zeros((n, g_pad), bool)
+            for i, image_id in enumerate(batch_ids_b):
+                ann = dataloader.dataset.get_image_annotation_for_imageid(
+                    image_id)
+                local = dataloader.convert_label_ids_global_to_local(
+                    ann.get_field("labels"), class_ids)
+                if num_views > 1:
+                    local = [l * num_views for l in local]
+                k = len(ann)
+                if k:
+                    gb[i, :k] = ann.bbox_xyxy
+                    gl[i, :k] = local
+                    gd[i, :k] = ann.get_field("difficult")
+                    gv[i, :k] = True
+            return {"boxes": gb, "labels": gl, "difficult": gd, "valid": gv}
 
         pending = None
         for (batch_ids, dev_images, level_sizes, inv_scales, initial_sizes) in (
@@ -896,6 +1033,18 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     params, dev_images, class_head, level_sizes,
                     inv_scales[0], img_norm, num_views=num_views,
                 )
+            elif criterion is not None:
+                packed, loss_keys, losses = evaluator.detect_images(
+                    params, dev_images, class_head, level_sizes,
+                    inv_scales[0], img_norm, num_views=num_views,
+                    objective_cfg=criterion, gt=_gt_batch(batch_ids),
+                )
+                losses = np.asarray(losses)
+                for i in range(len(batch_ids)):
+                    for k, key_name in enumerate(loss_keys):
+                        loss_sums[key_name] = (
+                            loss_sums.get(key_name, 0.0) + float(losses[i, k]))
+                    num_loss_images += 1
             else:
                 packed = evaluator.detect_images(
                     params, dev_images, class_head, level_sizes,
@@ -907,7 +1056,8 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         if pending is not None:
             _finalize(*pending)
         return _finish_evaluation(
-            predictions, gts, cfg, class_ids, dataset_name, t_start, {}, 0,
+            predictions, gts, cfg, class_ids, dataset_name, t_start,
+            loss_sums, num_loss_images,
             print_per_class_results, logger, image_ids=all_image_ids,
         )
 

@@ -106,7 +106,9 @@ def test_end_to_end_eval_detects_planted_patches(synthetic_loader):
 
 
 def test_eval_with_loss_metrics(synthetic_loader):
-    """criterion=ObjectiveConfig adds averaged loss metrics to eval results."""
+    """criterion=ObjectiveConfig adds averaged loss metrics to eval results;
+    the fused path computes them ON DEVICE and must match the chunked path
+    (which replays encode/remap per image on host-returned level scores)."""
     from os2d_tpu.engine.objective import ObjectiveConfig
 
     cfg = get_default_cfg()
@@ -123,6 +125,15 @@ def test_eval_with_loss_metrics(synthetic_loader):
                        criterion=ObjectiveConfig())
     assert "loss" in results and np.isfinite(results["loss"])
     assert "loc_smoothL1" in results
+
+    cfg.tpu.device_side_pyramid = False  # force the chunked path
+    chunked = evaluate(synthetic_loader, model, params, cfg,
+                       criterion=ObjectiveConfig())
+    for k, v in chunked.items():
+        if k == "eval_time":
+            continue
+        assert np.isclose(results[k], v, atol=2e-4, rtol=1e-3), (
+            k, results[k], v)
 
 
 def test_eval_visualization_hooks(synthetic_loader, tmp_path):
