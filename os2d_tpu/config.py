@@ -265,6 +265,12 @@ def get_default_cfg() -> ConfigNode:
                                         # tools/map_sensitivity.py (r2): dmAP
                                         # +0.0000, score delta mean 3e-4
             eval_class_chunk=16,      # classes per head call at eval
+            eval_shard_axis="classes",  # mesh eval strategy: "classes"
+                                        # (each chip scores a slice of the
+                                        # class bank; huge catalogs) or
+                                        # "images" (each chip owns a slice
+                                        # of the image batch; set
+                                        # eval.batch_size to the mesh size)
             eval_class_prescreen=True,  # large-catalog prescreen: skip the
                                         # alignment/resample head for classes
                                         # whose correlation ceiling is below

@@ -389,6 +389,7 @@ class Evaluator:
             num_views,
             quantized,
             None if self.mesh is None else self.mesh.devices.size,
+            str(self.cfg.tpu.get("eval_shard_axis", "classes")),
             self._decode_cfg_key(),
             (objective_cfg, gt["boxes"].shape) if with_losses else None,
         )
@@ -398,8 +399,15 @@ class Evaluator:
 
             model = self.model
             cfg = self.cfg
+            # two mesh strategies (SURVEY.md §2.16 work-grid sharding):
+            #   "classes": each chip scores a slice of the class bank for
+            #              every image — the huge-catalog mode;
+            #   "images":  each chip owns a slice of the image batch (set
+            #              eval.batch_size to the mesh size) — near-linear
+            #              scaling for many-image datasets.
+            shard_axis = str(cfg.tpu.get("eval_shard_axis", "classes"))
             chunk = int(cfg.tpu.eval_class_chunk)
-            if self.mesh is not None:
+            if self.mesh is not None and shard_axis == "classes":
                 # keep every chip busy within a chunk
                 n_dev = self.mesh.devices.size
                 chunk = ((max(chunk, n_dev) + n_dev - 1) // n_dev) * n_dev
@@ -445,9 +453,15 @@ class Evaluator:
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     from ..parallel.mesh import DATA_AXIS
 
-                    shard = NamedSharding(self.mesh, P(None, DATA_AXIS))
-                    feats_r = jax.lax.with_sharding_constraint(feats_r, shard)
-                    mask_r = jax.lax.with_sharding_constraint(mask_r, shard)
+                    if shard_axis == "images":
+                        img = jax.lax.with_sharding_constraint(
+                            img, NamedSharding(self.mesh, P(DATA_AXIS)))
+                    else:
+                        shard = NamedSharding(self.mesh, P(None, DATA_AXIS))
+                        feats_r = jax.lax.with_sharding_constraint(
+                            feats_r, shard)
+                        mask_r = jax.lax.with_sharding_constraint(
+                            mask_r, shard)
 
                 n_img = images_u8.shape[0]
                 loc_p, cls_p = [], []
