@@ -453,6 +453,17 @@ class DataloaderOneShotDetection:
             self._transform_image_gt(img, hflip=batch_hflip, vflip=batch_vflip)
             for img in class_images_pil
         ]
+        if self.images_uint8:
+            # class images ship uint8 too (they dominate the per-step
+            # host->device payload at fp32: 15 x 240^2 x 3 x 4B ~= 10 MB);
+            # the jitted step normalizes on device, bit-equal to host
+            mean = np.asarray(self.img_normalization["mean"], np.float32)
+            std = np.asarray(self.img_normalization["std"], np.float32)
+            class_images = [
+                np.clip(np.rint((im * std + mean) * 255.0), 0, 255).astype(
+                    np.uint8)
+                for im in class_images
+            ]
         class_image_sizes = [
             FeatureMapSize(w=arr.shape[1], h=arr.shape[0]) for arr in class_images
         ]

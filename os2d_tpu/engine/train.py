@@ -86,6 +86,12 @@ class TrainStep:
                 mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
                 std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
                 images = (images.astype(jnp.float32) / 255.0 - mean) / std
+            if class_images.dtype == jnp.uint8:
+                mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
+                std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+                class_images = (
+                    class_images.astype(jnp.float32) / 255.0 - mean
+                ) / std
             fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
             class_fm = resnet_c4_forward(
                 label_backbone_params(params), class_images, model_cfg.dtype
@@ -159,9 +165,17 @@ class TrainStep:
             )
             metrics = {k: v for k, v in losses.items()}
             metrics["grad_norm"] = grad_norm
-            return new_params, new_opt_state, metrics
+            # pack scalars into ONE vector: each dict leaf would otherwise
+            # cost its own device->host transfer when the caller reads it
+            # (~9 tunnel round-trips per step, measured >1 s/step over axon)
+            keys = sorted(k for k in metrics if jnp.ndim(metrics[k]) == 0)
+            if not metric_keys:
+                metric_keys.extend(keys)
+            return new_params, new_opt_state, jnp.stack(
+                [metrics[k] for k in keys])
 
-        return step
+        metric_keys = []  # filled at trace time
+        return step, metric_keys
 
     def __call__(self, params, opt_state, batch_arrays, num_classes):
         key = (
@@ -172,13 +186,18 @@ class TrainStep:
         )
         if key not in self._step_cache:
             self._step_cache[key] = self._make_step(num_classes)
-        return self._step_cache[key](
+        step, metric_keys = self._step_cache[key]
+        new_params, new_opt_state, metric_vec = step(
             params, opt_state,
             batch_arrays["images"], batch_arrays["class_images"],
             batch_arrays["class_valid"], batch_arrays["gt_boxes"],
             batch_arrays["gt_labels"], batch_arrays["gt_difficult"],
             batch_arrays["gt_valid"], batch_arrays["default_boxes"],
         )
+        # ONE host transfer for all scalar metrics
+        vals = np.asarray(metric_vec)
+        metrics = {k: float(v) for k, v in zip(metric_keys, vals)}
+        return new_params, new_opt_state, metrics
 
 
 
@@ -195,17 +214,19 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
     w.r.t. the score tensors."""
     from ..utils.visualization import show_target_remapping
 
-    images = batch_arrays["images"]
-    if images.dtype == jnp.uint8:
-        mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
-        std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
-        images_n = (images.astype(jnp.float32) / 255.0 - mean) / std
-    else:
-        images_n = images
+    mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
+    std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+
+    def _norm(x):
+        if x.dtype == jnp.uint8:
+            return (x.astype(jnp.float32) / 255.0 - mean) / std
+        return x
+
+    images_n = _norm(batch_arrays["images"])
     fm = resnet_c4_forward(params["backbone"], images_n, model_cfg.dtype)
     class_head = build_class_head(
         resnet_c4_forward(
-            label_backbone_params(params), batch_arrays["class_images"],
+            label_backbone_params(params), _norm(batch_arrays["class_images"]),
             model_cfg.dtype,
         )
     )
@@ -281,7 +302,7 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
             if not (cls_t[i, l] == 1).any():
                 continue
             saved.append(show_target_remapping(
-                np.asarray(images[i]),
+                np.asarray(images_n[i]),
                 cls_scores[i, l].reshape(fm_h, fm_w),
                 cls_t[i, l].reshape(fm_h, fm_w),
                 cls_remapped[i, l].reshape(fm_h, fm_w),
@@ -384,10 +405,13 @@ def build_trainable_mask(params, train_cfg):
 
 
 def pad_class_batch(class_images, num_real, pad_to):
-    """Stack same-shape class images and pad to a static class count."""
-    arr = np.stack(class_images, 0).astype(np.float32)
+    """Stack same-shape class images and pad to a static class count
+    (dtype preserved: uint8 batches normalize on device in the step)."""
+    arr = np.stack(class_images, 0)
+    if arr.dtype != np.uint8:
+        arr = arr.astype(np.float32)
     if num_real < pad_to:
-        pad = np.zeros((pad_to - num_real,) + arr.shape[1:], np.float32)
+        pad = np.zeros((pad_to - num_real,) + arr.shape[1:], arr.dtype)
         arr = np.concatenate([arr, pad], 0)
     valid = np.zeros((pad_to,), bool)
     valid[:num_real] = True
@@ -433,11 +457,17 @@ class BatchPrefetcher:
     (SURVEY.md top-level fact #1).
     """
 
-    def __init__(self, dataloader, depth: int = 2):
+    def __init__(self, dataloader, depth: int = 2, prepare_fn=None):
+        """`prepare_fn(batch)`, if given, runs in the worker thread after the
+        host pipeline — used to START the host->device upload of the batch
+        arrays while the previous step computes (jnp.asarray dispatches the
+        transfer asynchronously; over the axon tunnel the ~5-15 MB payload
+        otherwise serializes with the step, measured at ~0.5 s/step)."""
         import queue
         import threading
 
         self.dataloader = dataloader
+        self.prepare_fn = prepare_fn
         self._queue = queue.Queue(maxsize=depth)
         self._request = queue.Queue()
         self._thread = threading.Thread(target=self._worker, daemon=True)
@@ -449,33 +479,37 @@ class BatchPrefetcher:
             if index is None:
                 return
             try:
-                self._queue.put((index, self.dataloader.get_batch(index)))
+                batch = self.dataloader.get_batch(index)
+                prepared = self.prepare_fn(batch) if self.prepare_fn else None
+                self._queue.put((index, batch, prepared))
             except Exception as e:  # surface loader errors to the consumer
-                self._queue.put((index, e))
+                self._queue.put((index, e, None))
 
     def schedule(self, index: int):
         self._request.put(index)
 
     def get(self):
-        index, batch = self._queue.get()
+        index, batch, prepared = self._queue.get()
         if isinstance(batch, Exception):
             raise batch
-        return index, batch
+        return index, batch, prepared
 
     def close(self):
         self._request.put(None)
 
 
 def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
-                    dump_dir=None, mesh=None):
+                    dump_dir=None, mesh=None, prepared=None):
     """One training iteration (os2d/engine/train.py:47-139).
 
     With a `mesh`, the image batch (and per-image GT) shards over the mesh's
     data axis and params/optimizer state are replicated; XLA inserts the
-    gradient all-reduce over ICI.
+    gradient all-reduce over ICI. `prepared` takes (arrays, c_pad) from
+    prepare_batch_arrays when the prefetcher already started the upload.
     """
     t_start = time.time()
-    arrays, c_pad = prepare_batch_arrays(batch)
+    arrays, c_pad = prepared if prepared is not None else (
+        prepare_batch_arrays(batch))
     if mesh is not None:
         from ..parallel.mesh import make_sharded_train_inputs
 
@@ -626,7 +660,10 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=0,
                                  full_log=full_log, backend=ckpt_backend)
 
-        prefetcher = BatchPrefetcher(dataloader_train)
+        prefetcher = BatchPrefetcher(
+            dataloader_train,
+            prepare_fn=None if mesh is not None else prepare_batch_arrays,
+        )
         pending = False  # a batch is scheduled on the prefetcher
         i_epoch = 0
         i_batch = len(dataloader_train)
@@ -654,7 +691,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             t_load = time.time()
             if not pending:
                 prefetcher.schedule(i_batch)
-            _, batch = prefetcher.get()
+            _, batch, prepared = prefetcher.get()
             pending = False
             loading_time = time.time() - t_load
             i_batch += 1
@@ -671,6 +708,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             params, opt_state, meters = train_one_batch(
                 batch, params, opt_state, train_step, logger,
                 dump_dir=cfg.output.path or None, mesh=mesh,
+                prepared=prepared,
             )
             meters["loading_time"] = loading_time
             if i_iter % cfg.output.print_iter == 0:
