@@ -154,6 +154,35 @@ def _decode_and_pack(loc_p, cls_p, sizes, scales, num_views, cfg,
     )
 
 
+def padded_gt_for_image(dataloader, image_id, class_ids, num_views, g_pad):
+    """Padded GT arrays for one image (shared by the fused on-device loss
+    path and the chunked host loss replay — the -1/False padding layout and
+    the TTA view-0 row mapping must stay identical between them).
+
+    Returns (boxes [g_pad, 4] original coords, labels [g_pad] local view-0
+    row ids, difficult [g_pad] bool, valid [g_pad] bool).
+    """
+    ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
+    local = dataloader.convert_label_ids_global_to_local(
+        ann.get_field("labels"), class_ids
+    )
+    if num_views > 1:
+        # GT positives land on each class's view-0 row; other view rows act
+        # as extra negative labels (reference evaluate.py:293)
+        local = [l * num_views for l in local]
+    gt_boxes = np.zeros((g_pad, 4), np.float32)
+    gt_labels = np.full((g_pad,), -1, np.int32)
+    gt_difficult = np.zeros((g_pad,), bool)
+    gt_valid = np.zeros((g_pad,), bool)
+    k = len(ann)
+    if k:
+        gt_boxes[:k] = ann.bbox_xyxy
+        gt_labels[:k] = local
+        gt_difficult[:k] = ann.get_field("difficult")
+        gt_valid[:k] = True
+    return gt_boxes, gt_labels, gt_difficult, gt_valid
+
+
 def _eval_losses_device(objective_cfg, cfg, loc_p, cls_p, d_boxes_levels,
                         gt_boxes, gt_labels, gt_difficult, gt_valid):
     """On-device eval loss metrics for an image batch (jit-compatible).
@@ -391,8 +420,23 @@ class Evaluator:
             None if self.mesh is None else self.mesh.devices.size,
             str(self.cfg.tpu.get("eval_shard_axis", "classes")),
             self._decode_cfg_key(),
-            (objective_cfg, gt["boxes"].shape) if with_losses else None,
+            # the loss program also bakes the encode/remap IoU thresholds
+            (objective_cfg, gt["boxes"].shape,
+             float(self.cfg.train.objective.positive_iou_threshold),
+             float(self.cfg.train.objective.negative_iou_threshold),
+             float(self.cfg.train.objective.remap_classification_targets_iou_pos),
+             float(self.cfg.train.objective.remap_classification_targets_iou_neg),
+             ) if with_losses else None,
         )
+        if (self.mesh is not None
+                and str(self.cfg.tpu.get("eval_shard_axis", "classes"))
+                == "images"
+                and images_u8.shape[0] % self.mesh.devices.size != 0):
+            raise ValueError(
+                f"eval_shard_axis='images' needs the image batch "
+                f"({images_u8.shape[0]}) to be a multiple of the mesh size "
+                f"({self.mesh.devices.size}); set eval.batch_size accordingly"
+            )
         if key not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
             from .decode import default_boxes_for_image_size
@@ -759,21 +803,9 @@ def compute_eval_losses_for_image(level_outputs, image_index, dataloader,
 
     ann = dataloader.dataset.get_image_annotation_for_imageid(image_id)
     class_ids = sorted(list(dataloader.dataset.get_class_ids()))
-    local = dataloader.convert_label_ids_global_to_local(
-        ann.get_field("labels"), class_ids
+    gt_boxes, gt_labels, gt_difficult, gt_valid = padded_gt_for_image(
+        dataloader, image_id, class_ids, num_views, max(8, len(ann))
     )
-    if num_views > 1:
-        local = [l * num_views for l in local]
-    g = max(8, len(ann))
-    gt_boxes = np.zeros((g, 4), np.float32)
-    gt_labels = np.full((g,), -1, np.int32)
-    gt_difficult = np.zeros((g,), bool)
-    gt_valid = np.zeros((g,), bool)
-    if len(ann):
-        gt_boxes[: len(ann)] = ann.bbox_xyxy
-        gt_labels[: len(ann)] = local
-        gt_difficult[: len(ann)] = ann.get_field("difficult")
-        gt_valid[: len(ann)] = True
 
     num_labels = level_outputs[0]["cls"].shape[1]
     loc_p, cls_p, loc_t, cls_t, cls_r = [], [], [], [], []
@@ -1025,23 +1057,27 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             gd = np.zeros((n, g_pad), bool)
             gv = np.zeros((n, g_pad), bool)
             for i, image_id in enumerate(batch_ids_b):
-                ann = dataloader.dataset.get_image_annotation_for_imageid(
-                    image_id)
-                local = dataloader.convert_label_ids_global_to_local(
-                    ann.get_field("labels"), class_ids)
-                if num_views > 1:
-                    local = [l * num_views for l in local]
-                k = len(ann)
-                if k:
-                    gb[i, :k] = ann.bbox_xyxy
-                    gl[i, :k] = local
-                    gd[i, :k] = ann.get_field("difficult")
-                    gv[i, :k] = True
+                gb[i], gl[i], gd[i], gv[i] = padded_gt_for_image(
+                    dataloader, image_id, class_ids, num_views, g_pad)
             return {"boxes": gb, "labels": gl, "difficult": gd, "valid": gv}
 
+        def _finalize_losses(batch_ids_b, loss_keys, losses):
+            """Blocks on the device-side loss vector (held one step with the
+            packed detections so the transfer rides behind the next batch's
+            compute) and accumulates per-image sums."""
+            nonlocal num_loss_images
+            losses = np.asarray(losses)
+            for i in range(len(batch_ids_b)):
+                for k, key_name in enumerate(loss_keys):
+                    loss_sums[key_name] = (
+                        loss_sums.get(key_name, 0.0) + float(losses[i, k]))
+                num_loss_images += 1
+
         pending = None
+        pending_losses = None
         for (batch_ids, dev_images, level_sizes, inv_scales, initial_sizes) in (
                 _prefetched_items()):
+            cur_losses = None
             if use_prescreen:
                 packed = evaluator.detect_images_prescreened(
                     params, dev_images, class_head, level_sizes,
@@ -1053,12 +1089,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                     inv_scales[0], img_norm, num_views=num_views,
                     objective_cfg=criterion, gt=_gt_batch(batch_ids),
                 )
-                losses = np.asarray(losses)
-                for i in range(len(batch_ids)):
-                    for k, key_name in enumerate(loss_keys):
-                        loss_sums[key_name] = (
-                            loss_sums.get(key_name, 0.0) + float(losses[i, k]))
-                    num_loss_images += 1
+                cur_losses = (batch_ids, loss_keys, losses)
             else:
                 packed = evaluator.detect_images(
                     params, dev_images, class_head, level_sizes,
@@ -1066,9 +1097,14 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                 )
             if pending is not None:
                 _finalize(*pending)
+                if pending_losses is not None:
+                    _finalize_losses(*pending_losses)
             pending = (batch_ids, initial_sizes, packed)
+            pending_losses = cur_losses
         if pending is not None:
             _finalize(*pending)
+            if pending_losses is not None:
+                _finalize_losses(*pending_losses)
         return _finish_evaluation(
             predictions, gts, cfg, class_ids, dataset_name, t_start,
             loss_sums, num_loss_images,

@@ -80,18 +80,18 @@ class TrainStep:
 
         def loss_fn(params, images, class_images, class_valid, gt_boxes,
                     gt_labels, gt_difficult, gt_valid, default_boxes):
-            if images.dtype == jnp.uint8:
-                # uint8-over-the-wire batches: normalize on device (bit-equal
-                # to the host ToTensor+Normalize path)
-                mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
-                std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
-                images = (images.astype(jnp.float32) / 255.0 - mean) / std
-            if class_images.dtype == jnp.uint8:
-                mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
-                std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
-                class_images = (
-                    class_images.astype(jnp.float32) / 255.0 - mean
-                ) / std
+            # uint8-over-the-wire batches: normalize on device (bit-equal
+            # to the host ToTensor+Normalize path)
+            mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
+            std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+
+            def _norm(x):
+                if x.dtype == jnp.uint8:
+                    return (x.astype(jnp.float32) / 255.0 - mean) / std
+                return x
+
+            images = _norm(images)
+            class_images = _norm(class_images)
             fm = resnet_c4_forward(params["backbone"], images, model_cfg.dtype)
             class_fm = resnet_c4_forward(
                 label_backbone_params(params), class_images, model_cfg.dtype
