@@ -168,15 +168,21 @@ def head_forward(
 
     fm = l2_normalize_channels(image_feature_maps, eps=1e-5, axis=-1)
 
-    # dense correlation; corr channel = w_c * 15 + h_c (weakalign order,
-    # os2d/modeling/head.py:342-350)
+    # dense correlation; corr channel t = w_c * 15 + h_c (weakalign order,
+    # os2d/modeling/head.py:342-350). The template axis is pre-flattened on
+    # the (tiny) class side so ONE dot_general emits corr directly in its
+    # consumed [B, C, H, W, T] layout — the 6-D bchwxy intermediate forced a
+    # whole-tensor relayout copy before the TransformationNet conv
+    # (profiled ~21 ms/dispatch, tools/profile_fused.py r2)
+    feats_t = class_head.class_feats.transpose(0, 2, 1, 3).reshape(
+        c, TEMPLATE_W * TEMPLATE_H, f
+    )
     corr = jnp.einsum(
-        "bhwf,cyxf->bchwxy",
+        "bhwf,ctf->bchwt",
         fm.astype(compute_dtype),
-        class_head.class_feats.astype(compute_dtype),
+        feats_t.astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    corr = corr.reshape(b, c, h, w, TEMPLATE_W * TEMPLATE_H)
 
     # regress transformation parameters per (image, class, anchor)
     tn_in = corr.reshape(b * c, h, w, TEMPLATE_W * TEMPLATE_H)
