@@ -54,6 +54,42 @@ def default_boxes_for_size(img_size: FeatureMapSize):
     )
 
 
+class LazyMetrics:
+    """Packed step metrics, materialized on FIRST access (one device->host
+    transfer for all scalars). Mapping-like, so callers that read
+    metrics["loss"] immediately keep working; callers that want to hide the
+    per-step sync latency hold it un-read until the next step is dispatched
+    (trainval_loop's one-behind pattern)."""
+
+    def __init__(self, keys, vec):
+        self._keys = list(keys)
+        self._vec = vec
+        self._vals = None
+
+    def materialized(self):
+        if self._vals is None:
+            self._vals = {
+                k: float(v) for k, v in zip(self._keys, np.asarray(self._vec))
+            }
+            self._vec = None
+        return self._vals
+
+    def __getitem__(self, k):
+        return self.materialized()[k]
+
+    def __iter__(self):
+        return iter(self._keys)
+
+    def __len__(self):
+        return len(self._keys)
+
+    def items(self):
+        return self.materialized().items()
+
+    def keys(self):
+        return list(self._keys)
+
+
 class TrainStep:
     """Caches jitted train-step specializations per batch signature."""
 
@@ -194,10 +230,7 @@ class TrainStep:
             batch_arrays["gt_labels"], batch_arrays["gt_difficult"],
             batch_arrays["gt_valid"], batch_arrays["default_boxes"],
         )
-        # ONE host transfer for all scalar metrics
-        vals = np.asarray(metric_vec)
-        metrics = {k: float(v) for k, v in zip(metric_keys, vals)}
-        return new_params, new_opt_state, metrics
+        return new_params, new_opt_state, LazyMetrics(metric_keys, metric_vec)
 
 
 
@@ -499,13 +532,21 @@ class BatchPrefetcher:
 
 
 def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
-                    dump_dir=None, mesh=None, prepared=None):
+                    dump_dir=None, mesh=None, prepared=None,
+                    defer_metrics=False):
     """One training iteration (os2d/engine/train.py:47-139).
 
     With a `mesh`, the image batch (and per-image GT) shards over the mesh's
     data axis and params/optimizer state are replicated; XLA inserts the
     gradient all-reduce over ICI. `prepared` takes (arrays, c_pad) from
     prepare_batch_arrays when the prefetcher already started the upload.
+
+    With `defer_metrics=True` the third return value is a zero-arg
+    `finalize()` callable instead of a meters dict: the caller dispatches
+    the NEXT step before calling it, so the per-step device->host metric
+    sync hides behind the next step's compute (the NaN reproducer dump runs
+    inside finalize, on the exact step's inputs — the step's own
+    finite-guard already skipped the bad update on device).
     """
     t_start = time.time()
     arrays, c_pad = prepared if prepared is not None else (
@@ -517,23 +558,29 @@ def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
             mesh, params, opt_state, arrays
         )
     params, opt_state, metrics = train_step(params, opt_state, arrays, c_pad)
-    meters = {
-        k: float(v) for k, v in metrics.items() if np.ndim(v) == 0
-    }
-    if not math.isfinite(meters.get("grad_norm", 0.0)):
-        # the jitted step already skipped the update (finite-guard); dump a
-        # reproducer like the reference (os2d/engine/train.py:116-129)
-        dump_path = dump_nan_reproducer(
-            dump_dir, arrays, params, opt_state, c_pad,
-            extra={"meters": meters},
-        )
-        logger.error(
-            f"gradient is not finite; the update was skipped. Saved reproducer "
-            f"to {dump_path} — reload with "
-            f"os2d_tpu.engine.train.load_nan_reproducer"
-        )
-    meters["batch_time"] = time.time() - t_start
-    return params, opt_state, meters
+
+    def finalize():
+        meters = dict(metrics.materialized())
+        if not math.isfinite(meters.get("grad_norm", 0.0)):
+            # the jitted step already skipped the update (finite-guard); dump
+            # a reproducer like the reference (os2d/engine/train.py:116-129).
+            # `params`/`opt_state` here are the step's outputs, which equal
+            # its inputs exactly because the non-finite update was skipped.
+            dump_path = dump_nan_reproducer(
+                dump_dir, arrays, params, opt_state, c_pad,
+                extra={"meters": meters},
+            )
+            logger.error(
+                f"gradient is not finite; the update was skipped. Saved "
+                f"reproducer to {dump_path} — reload with "
+                f"os2d_tpu.engine.train.load_nan_reproducer"
+            )
+        meters["batch_time"] = time.time() - t_start
+        return meters
+
+    if defer_metrics:
+        return params, opt_state, finalize
+    return params, opt_state, finalize()
 
 
 def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
@@ -611,6 +658,22 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
     full_log = full_log if full_log is not None else init_log()
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)
+
+    # one-behind metric consumption state: (i_iter, loading_time, finalize)
+    pending_meters = None
+
+    def _consume_pending_meters():
+        nonlocal pending_meters, num_steps_for_logging
+        if pending_meters is None:
+            return
+        pi_iter, p_loading_time, p_finalize = pending_meters
+        pending_meters = None
+        meters = p_finalize()
+        meters["loading_time"] = p_loading_time
+        if pi_iter % cfg.output.print_iter == 0:
+            print_meters(meters, logger)
+        add_to_meters_in_dict(meters, meters_running)
+        num_steps_for_logging += 1
 
     best_model_metric = None
     best_model_dataset_name = None
@@ -703,19 +766,22 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             if i_batch < len(dataloader_train) and not next_is_mining:
                 prefetcher.schedule(i_batch)
                 pending = True
-            num_steps_for_logging += 1
 
-            params, opt_state, meters = train_one_batch(
+            # one-behind metrics: dispatch step i, THEN read step i-1's
+            # metrics so the per-step device->host sync rides behind step
+            # i's compute (same pattern as the eval loop's pending
+            # detections); flushed before anything that reads meters_running
+            params, opt_state, finalize = train_one_batch(
                 batch, params, opt_state, train_step, logger,
                 dump_dir=cfg.output.path or None, mesh=mesh,
-                prepared=prepared,
+                prepared=prepared, defer_metrics=True,
             )
-            meters["loading_time"] = loading_time
-            if i_iter % cfg.output.print_iter == 0:
-                print_meters(meters, logger)
-            add_to_meters_in_dict(meters, meters_running)
+            new_pending_meters = (i_iter, loading_time, finalize)
+            _consume_pending_meters()
+            pending_meters = new_pending_meters
 
             if (i_iter + 1) % cfg.eval.iter == 0:
+                _consume_pending_meters()
                 meters_eval = evaluate_model(dataloaders_eval, model, params, cfg,
                                              criterion=objective_cfg, mesh=mesh)
 
@@ -775,6 +841,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter,
                                  full_log=full_log, backend=ckpt_backend)
 
+        _consume_pending_meters()
         if pending:
             prefetcher.get()
         prefetcher.close()

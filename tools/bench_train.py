@@ -121,13 +121,19 @@ def main():
           f"(loss={meters['loss']:.4f})", flush=True)
 
     t0 = time.time()
+    pending_fin = None
     for i in range(1, n_steps + 1):
         _, batch, prepared = prefetcher.get()
         prefetcher.schedule((i + 1) % len(loader))
-        params, opt_state, meters = train_one_batch(
-            batch, params, opt_state, step, logger, prepared=prepared)
-    # every step already synchronized (TrainStep converts the packed metric
-    # vector to floats), so the loop timing is end-to-end honest
+        # one-behind metrics, exactly as trainval_loop runs it: read step
+        # i-1's packed metric vector after dispatching step i
+        params, opt_state, fin = train_one_batch(
+            batch, params, opt_state, step, logger, prepared=prepared,
+            defer_metrics=True)
+        if pending_fin is not None:
+            meters = pending_fin()
+        pending_fin = fin
+    meters = pending_fin()  # blocks on the last step
     dt = time.time() - t0
     prefetcher.close()
     print(
