@@ -568,8 +568,10 @@ class Evaluator:
         """Lossless class prescreen is available when the decode threshold is
         finite (scores are mask-weighted averages of correlations, so the
         per-class correlation ceiling bounds every decodable score), NMS does
-        not cross classes (padded rows must not suppress real ones), the bank
-        is fp32 and no mesh shards the class axis."""
+        not cross classes (padded rows must not suppress real ones) and the
+        bank is fp32. Composes with a class-sharded mesh (both phases shard
+        their class chunks); image-axis sharding is not supported (the
+        surviving class set is chosen jointly for the whole batch)."""
         from ..models.head import QuantizedClassHead
 
         return (
@@ -577,7 +579,9 @@ class Evaluator:
             and np.isfinite(float(self.cfg.eval.nms_score_threshold))
             and not bool(self.cfg.eval.nms_across_classes)
             and not isinstance(class_head, QuantizedClassHead)
-            and self.mesh is None
+            and (self.mesh is None
+                 or str(self.cfg.tpu.get("eval_shard_axis", "classes"))
+                 == "classes")
         )
 
     def detect_images_prescreened(self, params, images_u8, class_head,
@@ -609,11 +613,27 @@ class Evaluator:
         threshold = float(self.cfg.eval.nms_score_threshold)
         top_k = int(self.cfg.tpu.eval_top_k)
         chunk = int(self.cfg.tpu.eval_class_chunk)
+        mesh_size = None if self.mesh is None else self.mesh.devices.size
+        if mesh_size is not None:
+            # both phases shard their class chunks over the mesh; keep every
+            # chip busy within a chunk (same rule as detect_images)
+            chunk = ((max(chunk, mesh_size) + mesh_size - 1)
+                     // mesh_size) * mesh_size
         model = self.model
         cfg = self.cfg
 
+        def _shard_chunked(x):
+            if self.mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import DATA_AXIS
+
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.mesh, P(None, DATA_AXIS)))
+
         key1 = ("prescreen", images_u8.shape, tuple(level_sizes),
-                feats_bank.shape, chunk)  # ceilings don't depend on decode cfg
+                feats_bank.shape, chunk, mesh_size)
+        # (ceilings don't depend on decode cfg)
         if key1 not in self._decode_cache:
             from ..models.resnet import resnet_c4_forward
             from ..ops.geometry import l2_normalize_channels
@@ -635,8 +655,8 @@ class Evaluator:
                         jnp.zeros((c_pad1 - c_total,) + feats_p.shape[1:],
                                   feats_p.dtype),
                     ])
-                feats_r = feats_p.reshape(
-                    (n_chunks1, chunk) + class_feats.shape[1:])
+                feats_r = _shard_chunked(feats_p.reshape(
+                    (n_chunks1, chunk) + class_feats.shape[1:]))
                 fms = []
                 ceil = jnp.full((c_pad1,), -jnp.inf, jnp.float32)
                 for sz in sizes:
@@ -673,8 +693,13 @@ class Evaluator:
 
             self._decode_cache[key1] = prescreen
 
-        fms, ceil = self._decode_cache[key1](
-            params, jnp.asarray(images_u8), feats_bank)
+        if self.mesh is not None:
+            with self.mesh:
+                fms, ceil = self._decode_cache[key1](
+                    params, jnp.asarray(images_u8), feats_bank)
+        else:
+            fms, ceil = self._decode_cache[key1](
+                params, jnp.asarray(images_u8), feats_bank)
         # group ceilings over TTA views; the margin guards phase-1/phase-2
         # numeric differences: einsum fusion ULPs for the fp32 tiers, the
         # ~4e-3 fixed-point rounding of the 'int8' resample tier (x127
@@ -703,7 +728,7 @@ class Evaluator:
 
         key2 = ("prescreen_head", images_u8.shape, tuple(level_sizes),
                 tuple(tuple(s) for s in inverse_scales), c_sel_pad, num_views,
-                self._decode_cfg_key())
+                mesh_size, self._decode_cfg_key())
         if key2 not in self._decode_cache:
             sizes = list(level_sizes)
             scales = [tuple(s) for s in inverse_scales]
@@ -714,10 +739,10 @@ class Evaluator:
 
             @jax.jit
             def head_decode(params, fms, sub_feats, sub_mask):
-                feats_r = sub_feats.reshape(
-                    (n_chunks2, chunk) + sub_feats.shape[1:])
-                mask_r = sub_mask.reshape(
-                    (n_chunks2, chunk) + sub_mask.shape[1:])
+                feats_r = _shard_chunked(sub_feats.reshape(
+                    (n_chunks2, chunk) + sub_feats.shape[1:]))
+                mask_r = _shard_chunked(sub_mask.reshape(
+                    (n_chunks2, chunk) + sub_mask.shape[1:]))
                 loc_p, cls_p = [], []
                 for fm in fms:
                     locs, clss = _scan_head_chunks(
@@ -734,8 +759,13 @@ class Evaluator:
 
             self._decode_cache[key2] = head_decode
 
-        packed = np.asarray(
-            self._decode_cache[key2](params, fms, sub_feats, sub_mask))
+        if self.mesh is not None:
+            with self.mesh:
+                packed = np.asarray(self._decode_cache[key2](
+                    params, fms, sub_feats, sub_mask))
+        else:
+            packed = np.asarray(self._decode_cache[key2](
+                params, fms, sub_feats, sub_mask))
         full = np.zeros((n_img, n_groups, top_k, 6), np.float32)
         full[:, sel] = packed[:, : sel.size]
         return full

@@ -127,3 +127,39 @@ def test_image_sharded_evaluate_same_map(setup, tmp_path):
         res_single["mAP@0.50"], abs=1e-6
     )
     assert res_sharded["mAP@0.50"] > 0.9
+
+
+def test_prescreened_evaluate_composes_with_class_sharding(setup, tmp_path):
+    """Lossless class prescreen x class-sharded mesh: both phases shard
+    their class chunks; mAP matches the single-device prescreened run."""
+    from test_end_to_end_eval import make_synthetic_dataset
+
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.data.dataset import DatasetOneShotDetection
+    from os2d_tpu.data.dataloader import DataloaderOneShotDetection
+    from os2d_tpu.engine.evaluate import evaluate
+
+    model_cfg, model, params = setup
+    df = make_synthetic_dataset(str(tmp_path))
+    dataset = DatasetOneShotDetection(
+        df, gt_path=str(tmp_path / "classes" / "images"),
+        image_path=str(tmp_path / "src"), name="synth-prescreen-mc",
+        image_size=640, eval_scale=640, cache_images=True,
+    )
+    loader = DataloaderOneShotDetection(
+        dataset=dataset, batch_size=1, pyramid_scales_eval=[1.0],
+        do_augmentation=False,
+    )
+    cfg = get_default_cfg()
+    cfg.tpu.eval_class_chunk = 8
+    cfg.tpu.eval_pre_top_k = 256
+    cfg.tpu.eval_top_k = 32
+    cfg.eval.nms_score_threshold = 0.5  # planted patches score ~1.0
+
+    res_single = evaluate(loader, model, params, cfg)
+    res_sharded = evaluate(loader, model, params, cfg, mesh=make_mesh(8))
+    cfg.eval.nms_score_threshold = float("-inf")
+    assert res_sharded["mAP@0.50"] == pytest.approx(
+        res_single["mAP@0.50"], abs=1e-6
+    )
+    assert res_sharded["mAP@0.50"] > 0.9
