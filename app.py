@@ -27,11 +27,35 @@ from os2d_tpu.api.service import DetectionService
 from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
 
 try:
-    from fastapi import FastAPI, Request
+    from fastapi import FastAPI, HTTPException, Request
 except ImportError as e:  # pragma: no cover
     raise ImportError(
         "fastapi is required for the serving app: pip install fastapi uvicorn"
     ) from e
+
+
+def _decode_payload_images(payload: dict, image_key: str):
+    """Validate + decode a request payload; malformed requests become 400s
+    instead of unhandled 500s. Returns (images, queries) where images is a
+    list even for the single-image schema."""
+    from os2d_tpu.api.service import decode_base64_to_image
+
+    try:
+        entries = payload[image_key]
+        if image_key == "image":
+            entries = [entries]
+        images = [decode_base64_to_image(e["content"]) for e in entries]
+        queries = [decode_base64_to_image(q["content"])
+                   for q in payload["query"]]
+    except (KeyError, TypeError, ValueError, OSError) as e:
+        raise HTTPException(
+            status_code=400,
+            detail=f"malformed payload ({type(e).__name__}: {e}); expected "
+                   f'{{"{image_key}": ..., "query": [{{"content": b64}}]}}',
+        ) from e
+    if not queries:
+        raise HTTPException(status_code=400, detail="empty query list")
+    return images, queries
 
 
 def build_service() -> DetectionService:
@@ -83,24 +107,21 @@ if _batch_size > 1:
 @app.post("/detect-all-instances")
 async def detect_all_instances(request: Request):
     payload = await request.json()
+    images, queries = _decode_payload_images(payload, "image")
     if batcher is not None:
         import asyncio
 
-        from os2d_tpu.api.service import decode_base64_to_image
-
-        image = decode_base64_to_image(payload["image"]["content"])
-        queries = [decode_base64_to_image(q["content"])
-                   for q in payload["query"]]
-        return await asyncio.get_event_loop().run_in_executor(
-            None, batcher.detect, image, queries
+        return await asyncio.get_running_loop().run_in_executor(
+            None, batcher.detect, images[0], queries
         )
-    return service.detect_from_request(payload)
+    return service.detect(images[0], queries)
 
 
 @app.post("/detect-batch")
 async def detect_batch(request: Request):
     payload = await request.json()
-    return service.detect_batch_from_request(payload)
+    images, queries = _decode_payload_images(payload, "images")
+    return {"results": service.detect_batch(images, queries)}
 
 
 @app.get("/health")

@@ -3,7 +3,7 @@ interface that replaces the reference's per-baseline dataset adapters
 (baselines/detector_retrieval/detector/detector_data.py:20-76 and
 baselines/CoAE/lib/datasets/os2d.py:20-80 in the reference).
 
-Flow (the same三-step contract an external detector integration uses):
+Flow (the same three-step contract an external detector integration uses):
   1. export a dataset of this framework to COCO JSON + query-image manifest
      (baselines/export_dataset.py) — the ONLY thing the external side sees;
   2. run an off-the-shelf detector on the exported files. Here that detector

@@ -274,16 +274,24 @@ def get_default_cfg() -> ConfigNode:
             eval_class_prescreen=True,  # large-catalog prescreen: skip the
                                         # alignment/resample head for classes
                                         # whose correlation ceiling is below
-                                        # eval.nms_score_threshold (LOSSLESS:
+                                        # eval.nms_score_threshold (NO-MISS:
                                         # resampled scores are mask-weighted
                                         # averages of correlations, so
-                                        # max(corr) bounds every score).
+                                        # max(corr) bounds every score up to
+                                        # a derived rounding margin — see
+                                        # engine.evaluate.prescreen_margin).
                                         # Active only when the threshold is
                                         # finite; -inf (the default) keeps
                                         # every class.
+            eval_prefetch_depth=2,    # fused-eval upload lookahead (batches)
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices
+            train_steps_per_dispatch=1,  # K>1: scan K train steps in ONE
+                                        # device program (hides per-step
+                                        # dispatch+sync latency on remote/
+                                        # tunneled devices; groups flush at
+                                        # eval/mining/checkpoint boundaries)
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval
             quantize_class_feats=False,  # int8 class-feature bank (4x HBM saving)

@@ -32,6 +32,35 @@ from ..structures.feature_map import FeatureMapSize
 from .decode import decode_pyramid
 
 
+def prescreen_margin(resample_precision: str, compute_dtype=jnp.float32):
+    """Safety margin for the class prescreen: a class survives phase 1 iff
+    its correlation ceiling > eval.nms_score_threshold - margin.
+
+    The ceiling argument (detect_images_prescreened docstring) is exact in
+    real arithmetic; the margin absorbs the worst-case ROUNDING difference
+    between the phase-1 ceiling and the phase-2 resampled scores:
+
+    - 'highest'/'high': fp32 resample matmuls; only einsum fusion-order
+      ULP differences remain (measured <=1e-5) -> 1e-4.
+    - 'default': the resample einsums round corr and the hat weights to
+      bf16 (8-bit mantissa, round-off <=2^-9 relative each); for cosine
+      scores |corr|<=1 the combined absolute error is <=~2^-8 ~= 4e-3.
+    - 'int8': corr is quantized to 1/127 steps (~4e-3 absolute) on top of
+      the fixed-point hat-weight rounding -> 1.5e-2 covers the measured
+      1.0e-3 max error (BENCH_NOTES round 2) with ~10x headroom.
+    - a bf16 model compute dtype additionally rounds the phase-1 einsum
+      INPUTS (feature maps / class features), adding another ~4e-3.
+
+    A larger margin only admits extra survivor classes (slower, never
+    wrong); a too-small margin can silently drop a just-above-threshold
+    detection (round-2 advisor finding)."""
+    base = {"highest": 1e-4, "high": 1e-4,
+            "default": 4e-3, "int8": 1.5e-2}[resample_precision]
+    if compute_dtype == jnp.bfloat16:
+        base += 4e-3
+    return base
+
+
 def unpack_detections(packed) -> Dict[str, np.ndarray]:
     """Unpack the [G, K, 6] array returned by `Evaluator.detect_single_image`
     (one device->host transfer) into {boxes, scores, valid} numpy arrays."""
@@ -565,7 +594,7 @@ class Evaluator:
 
     # ---- prescreened two-phase detection (large catalogs) ----
     def prescreen_applicable(self, class_head, num_views: int = 1) -> bool:
-        """Lossless class prescreen is available when the decode threshold is
+        """The no-miss class prescreen is available when the decode threshold is
         finite (scores are mask-weighted averages of correlations, so the
         per-class correlation ceiling bounds every decodable score), NMS does
         not cross classes (padded rows must not suppress real ones) and the
@@ -587,7 +616,10 @@ class Evaluator:
     def detect_images_prescreened(self, params, images_u8, class_head,
                                   level_sizes, inverse_scales,
                                   img_normalization, num_views: int = 1):
-        """Two-phase fused detection for LARGE catalogs (lossless prescreen).
+        """Two-phase fused detection for LARGE catalogs (no-miss prescreen:
+        no detection above threshold is dropped, up to the derived numeric
+        margin — see prescreen_margin; surviving detections match the full
+        path to ~1e-4 score / 1e-3 box tolerance, tests/test_prescreen.py).
 
         Phase 1 (one dispatch): pyramid + backbone once, then per-class
         correlation ceilings max_{anchor, template cell} corr[c] per level.
@@ -700,11 +732,10 @@ class Evaluator:
         else:
             fms, ceil = self._decode_cache[key1](
                 params, jnp.asarray(images_u8), feats_bank)
-        # group ceilings over TTA views; the margin guards phase-1/phase-2
-        # numeric differences: einsum fusion ULPs for the fp32 tiers, the
-        # ~4e-3 fixed-point rounding of the 'int8' resample tier (x127
-        # round can push a score slightly ABOVE the fp32 ceiling)
-        margin = 6e-3 if self.model.config.resample_precision == "int8" else 1e-4
+        # group ceilings over TTA views; the margin absorbs the worst-case
+        # rounding difference between phases (see prescreen_margin)
+        margin = prescreen_margin(self.model.config.resample_precision,
+                                  self.model.config.dtype)
         ceil_groups = np.asarray(ceil).reshape(n_groups, num_views).max(1)
         sel = np.nonzero(ceil_groups > threshold - margin)[0]
         n_img = images_u8.shape[0]
@@ -999,29 +1030,49 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
         batch_size = max(1, int(cfg.eval.batch_size))
 
         def _prefetched_items():
-            """One-step lookahead: upload batch i+1 while batch i computes.
+            """Producer-thread lookahead: host image prep + the host->device
+            upload of batch i+1..i+depth run while batch i computes.
 
-            The host->device upload of the base uint8 images (~3.7 MB/image at
-            the 1280px protocol) otherwise serializes with compute over the
-            axon tunnel — measured 3.2 img/s end-to-end vs 5.2 compute-only;
-            double-buffering recovers most of the gap (BENCH_NOTES.md).
+            The upload of the base uint8 images (~3.7 MB/image at the 1280px
+            protocol) otherwise serializes with compute over the axon tunnel —
+            measured 3.2 img/s end-to-end vs 5.2 compute-only; overlap
+            recovers most of the gap (BENCH_NOTES.md). Depth
+            cfg.tpu.eval_prefetch_depth (default 2, r2 VERDICT item 9) rides
+            out per-batch tunnel jitter that a single pending upload cannot.
             Partial tail batches are padded by repeating the last image (each
             bucket batch is uniform in size); n_real marks the genuine rows."""
-            prev = None
-            for item in dataloader.make_raw_iterator_for_all_images(batch_size):
-                (batch_ids, base_images, level_sizes, inv_scales,
-                 initial_sizes) = item
-                n_real = len(base_images)
-                stacked = np.stack(
-                    base_images + [base_images[-1]] * (batch_size - n_real)
-                )
-                dev = jax.device_put(stacked)
-                if prev is not None:
-                    yield prev
-                prev = (batch_ids, dev, level_sizes, inv_scales,
-                        initial_sizes)
-            if prev is not None:
-                yield prev
+            import queue as _queue
+            import threading
+
+            depth = max(1, int(cfg.tpu.get("eval_prefetch_depth", 2)))
+            q = _queue.Queue(maxsize=depth)
+
+            def producer():
+                try:
+                    for item in dataloader.make_raw_iterator_for_all_images(
+                            batch_size):
+                        (batch_ids, base_images, level_sizes, inv_scales,
+                         initial_sizes) = item
+                        n_real = len(base_images)
+                        stacked = np.stack(
+                            base_images
+                            + [base_images[-1]] * (batch_size - n_real)
+                        )
+                        dev = jax.device_put(stacked)  # async transfer start
+                        q.put((batch_ids, dev, level_sizes, inv_scales,
+                               initial_sizes))
+                except BaseException as e:  # surface in the consumer
+                    q.put(("__error__", e))
+                q.put(None)
+
+            threading.Thread(target=producer, daemon=True).start()
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if item[0] == "__error__":
+                    raise item[1]
+                yield item
 
         def _finalize(batch_ids_b, initial_sizes_b, packed):
             """Blocks on the packed [B, G, K, 6] result (held one step so its
@@ -1065,7 +1116,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                          and evaluator.prescreen_applicable(class_head, num_views))
         if use_prescreen:
             logger.info(
-                "eval path: fused two-phase (lossless class prescreen at "
+                "eval path: fused two-phase (no-miss class prescreen at "
                 f"score threshold {float(cfg.eval.nms_score_threshold)})"
             )
 

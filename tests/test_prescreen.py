@@ -1,10 +1,13 @@
-"""Lossless class-prescreen path (Evaluator.detect_images_prescreened).
+"""No-miss class-prescreen path (Evaluator.detect_images_prescreened).
 
 The prescreen skips alignment/resample/decode for classes whose correlation
 ceiling cannot exceed eval.nms_score_threshold. Because the resampled
-recognition score is a convex combination of correlation values, pruning is
-exactly lossless: these tests assert bit-level agreement of the surviving
-detections with the full fused path.
+recognition score is a convex combination of correlation values, no
+above-threshold detection is dropped (up to the derived rounding margin,
+engine.evaluate.prescreen_margin); these tests assert that the surviving
+detections match the full fused path to 1e-4 score / 1e-3 box tolerance
+(the two paths fuse their einsums differently, so bitwise equality is not
+expected).
 
 Random-init backbone features are near-constant vectors (every class's
 cosine ceiling is ~0.99), so partial pruning is exercised with one-hot
