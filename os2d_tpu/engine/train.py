@@ -91,7 +91,12 @@ class LazyMetrics:
 
 
 class TrainStep:
-    """Caches jitted train-step specializations per batch signature."""
+    """Caches jitted train-step specializations per batch signature.
+
+    `__call__` dispatches ONE step; `multi` dispatches K stacked steps as a
+    single `lax.scan` program (same per-step math), hiding the per-step
+    host->device dispatch+sync latency — measured ~100-150 ms/step over the
+    axon tunnel (BENCH_NOTES r2 training section)."""
 
     def __init__(self, model_cfg, objective_cfg: ObjectiveConfig, optimizer,
                  train_cfg):
@@ -99,7 +104,13 @@ class TrainStep:
         self.objective_cfg = objective_cfg
         self.optimizer = optimizer
         self.train_cfg = train_cfg  # cfg.train node
-        self._step_cache = {}
+        self._fn_cache = {}    # num_classes -> (raw_step, metric_keys)
+        self._step_cache = {}  # signature -> jitted program
+
+    def _get_fn(self, num_classes: int):
+        if num_classes not in self._fn_cache:
+            self._fn_cache[num_classes] = self._make_step(num_classes)
+        return self._fn_cache[num_classes]
 
     def _make_step(self, num_classes: int):
         model_cfg = self.model_cfg
@@ -179,7 +190,6 @@ class TrainStep:
             )
             return losses["loss"], losses
 
-        @jax.jit
         def step(params, opt_state, images, class_images, class_valid, gt_boxes,
                  gt_labels, gt_difficult, gt_valid, default_boxes):
             (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -213,7 +223,17 @@ class TrainStep:
         metric_keys = []  # filled at trace time
         return step, metric_keys
 
+    @staticmethod
+    def _batch_args(batch_arrays):
+        return (
+            batch_arrays["images"], batch_arrays["class_images"],
+            batch_arrays["class_valid"], batch_arrays["gt_boxes"],
+            batch_arrays["gt_labels"], batch_arrays["gt_difficult"],
+            batch_arrays["gt_valid"],
+        )
+
     def __call__(self, params, opt_state, batch_arrays, num_classes):
+        raw_step, metric_keys = self._get_fn(num_classes)
         key = (
             num_classes,
             batch_arrays["images"].shape,
@@ -221,16 +241,56 @@ class TrainStep:
             batch_arrays["gt_boxes"].shape,
         )
         if key not in self._step_cache:
-            self._step_cache[key] = self._make_step(num_classes)
-        step, metric_keys = self._step_cache[key]
-        new_params, new_opt_state, metric_vec = step(
-            params, opt_state,
-            batch_arrays["images"], batch_arrays["class_images"],
-            batch_arrays["class_valid"], batch_arrays["gt_boxes"],
-            batch_arrays["gt_labels"], batch_arrays["gt_difficult"],
-            batch_arrays["gt_valid"], batch_arrays["default_boxes"],
+            self._step_cache[key] = jax.jit(raw_step)
+        new_params, new_opt_state, metric_vec = self._step_cache[key](
+            params, opt_state, *self._batch_args(batch_arrays),
+            batch_arrays["default_boxes"],
         )
         return new_params, new_opt_state, LazyMetrics(metric_keys, metric_vec)
+
+    def multi(self, params, opt_state, stacked_arrays, num_classes):
+        """K steps in ONE dispatch: every batch-dependent array in
+        `stacked_arrays` carries a leading [K] axis (see
+        stack_prepared_batches); default_boxes is shared (same image size
+        across the group). Returns (params, opt_state, metric_keys,
+        metric_vecs [K, M]) — per-step metrics identical to K sequential
+        `__call__`s (the scan body IS the single-step function), with one
+        device->host transfer for the whole group.
+
+        Replaces the loop being outpaced at
+        /root/reference/os2d/engine/train.py:462-541 (one dispatch+sync per
+        step)."""
+        raw_step, metric_keys = self._get_fn(num_classes)
+        key = (
+            "multi", num_classes,
+            stacked_arrays["images"].shape,
+            stacked_arrays["class_images"].shape,
+            stacked_arrays["gt_boxes"].shape,
+        )
+        if key not in self._step_cache:
+
+            @jax.jit
+            def multi_step(params, opt_state, images, class_images,
+                           class_valid, gt_boxes, gt_labels, gt_difficult,
+                           gt_valid, default_boxes):
+                def body(carry, xs):
+                    p, o = carry
+                    new_p, new_o, vec = raw_step(p, o, *xs, default_boxes)
+                    return (new_p, new_o), vec
+
+                (params, opt_state), vecs = jax.lax.scan(
+                    body, (params, opt_state),
+                    (images, class_images, class_valid, gt_boxes, gt_labels,
+                     gt_difficult, gt_valid),
+                )
+                return params, opt_state, vecs
+
+            self._step_cache[key] = multi_step
+        new_params, new_opt_state, metric_vecs = self._step_cache[key](
+            params, opt_state, *self._batch_args(stacked_arrays),
+            stacked_arrays["default_boxes"],
+        )
+        return new_params, new_opt_state, metric_keys, metric_vecs
 
 
 
@@ -478,6 +538,57 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
     return arrays, c_pad
 
 
+def batch_signature(prepared):
+    """Image/anchor shape signature of a prepared batch; only batches that
+    agree here may share one multi-step dispatch group (the class and GT
+    axes are padded to the group max by stack_prepared_batches, but the
+    image shape fixes the compiled program's spatial dims)."""
+    arrays, _ = prepared
+    return (arrays["images"].shape, arrays["class_images"].shape[1:],
+            arrays["default_boxes"].shape)
+
+
+def stack_prepared_batches(prepared_list):
+    """[(arrays, c_pad), ...] (same image signature) -> (stacked arrays with
+    a leading [K] axis, group c_pad) for TrainStep.multi.
+
+    Batches may differ in their per-batch GT count and padded class count;
+    both axes pad to the group max (gt_valid / class_valid already mask the
+    pad rows, so the padded steps are bit-equal to their unpadded single
+    dispatches). The per-batch arrays are already device-resident (uploaded
+    by the prefetcher thread), so the stack is a cheap on-device concat.
+    default_boxes is shared: equal image signature implies equal anchors."""
+    arrays0, _ = prepared_list[0]
+    assert all(batch_signature(p) == batch_signature(prepared_list[0])
+               for p in prepared_list[1:]), (
+        "grouped batches must share the image/anchor signature")
+    c_pad = max(p[0]["class_images"].shape[0] for p in prepared_list)
+    g_pad = max(p[0]["gt_boxes"].shape[1] for p in prepared_list)
+
+    def pad_to(x, axis, size):
+        if x.shape[axis] == size:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, size - x.shape[axis])
+        # bool/int pads are zeros = invalid/ignored rows
+        return jnp.pad(x, widths)
+
+    gt_keys = ("gt_boxes", "gt_labels", "gt_difficult", "gt_valid")
+    stacked = {}
+    for k in arrays0:
+        if k == "default_boxes":
+            stacked[k] = arrays0[k]
+        elif k in ("class_images", "class_valid"):
+            stacked[k] = jnp.stack(
+                [pad_to(p[0][k], 0, c_pad) for p in prepared_list], 0)
+        elif k in gt_keys:
+            stacked[k] = jnp.stack(
+                [pad_to(p[0][k], 1, g_pad) for p in prepared_list], 0)
+        else:
+            stacked[k] = jnp.stack([p[0][k] for p in prepared_list], 0)
+    return stacked, c_pad
+
+
 class BatchPrefetcher:
     """Background-thread batch preparation: overlaps the host-side PIL
     augmentation pipeline (the reference's CPU bottleneck, SURVEY.md §3.1)
@@ -583,6 +694,62 @@ def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
     return params, opt_state, finalize()
 
 
+def train_k_batches(prepared_list, params, opt_state, train_step: TrainStep,
+                    logger, dump_dir=None, mesh=None):
+    """K same-signature training iterations in ONE device dispatch
+    (TrainStep.multi): hides the per-step dispatch+sync tunnel latency that
+    a sequential loop pays K times (VERDICT r2 item 2).
+
+    Returns (params, opt_state, finalize) where finalize() -> list of K
+    per-step meters dicts (one device->host transfer for the whole group);
+    callers dispatch the NEXT group before finalizing, so the sync hides
+    behind it. A non-finite step j inside the group has its update skipped
+    on device (per-step finite-guard, like the single-step path); finalize
+    dumps a reproducer holding the GROUP-INPUT params plus all K batches
+    and j — replaying j steps from it reproduces the event exactly."""
+    t_start = time.time()
+    stacked, c_pad = stack_prepared_batches(prepared_list)
+    group_in_params, group_in_opt = params, opt_state
+    if mesh is not None:
+        from ..parallel.mesh import make_sharded_train_inputs
+
+        params, opt_state, stacked = make_sharded_train_inputs(
+            mesh, params, opt_state, stacked, batch_axis=1
+        )
+        group_in_params, group_in_opt = params, opt_state
+    k_steps = len(prepared_list)
+    params, opt_state, metric_keys, metric_vecs = train_step.multi(
+        params, opt_state, stacked, c_pad
+    )
+
+    def finalize():
+        vecs = np.asarray(metric_vecs)  # ONE transfer for the K steps
+        per_step = [
+            {k: float(v) for k, v in zip(metric_keys, vecs[j])}
+            for j in range(k_steps)
+        ]
+        bad = [j for j, m in enumerate(per_step)
+               if not math.isfinite(m.get("grad_norm", 0.0))]
+        if bad:
+            dump_path = dump_nan_reproducer(
+                dump_dir, stacked, group_in_params, group_in_opt, c_pad,
+                extra={"meters": per_step[bad[0]],
+                       "group_step_index": bad[0], "group_size": k_steps},
+            )
+            logger.error(
+                f"gradient not finite at step {bad[0]} of a {k_steps}-step "
+                f"group; the update was skipped on device. Saved group "
+                f"reproducer to {dump_path} (replay group_step_index steps "
+                f"from the dumped group-input params to reproduce)"
+            )
+        dt = (time.time() - t_start) / k_steps
+        for m in per_step:
+            m["batch_time"] = dt
+        return per_step
+
+    return params, opt_state, finalize
+
+
 def evaluate_model(dataloaders_eval, model, params, cfg, criterion=None,
                    print_per_class_results=False, mesh=None):
     from .evaluate import evaluate
@@ -659,21 +826,24 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
     num_steps_for_logging, meters_running = 0, {}
     train_step = TrainStep(model.config, objective_cfg, optimizer, cfg.train)
 
-    # one-behind metric consumption state: (i_iter, loading_time, finalize)
+    # one-behind metric consumption state: ([i_iters], loading_time,
+    # finalize -> [meters per iter]) — a 1-elem group for single-step mode
     pending_meters = None
 
     def _consume_pending_meters():
         nonlocal pending_meters, num_steps_for_logging
         if pending_meters is None:
             return
-        pi_iter, p_loading_time, p_finalize = pending_meters
+        p_iters, p_loading_time, p_finalize = pending_meters
         pending_meters = None
-        meters = p_finalize()
-        meters["loading_time"] = p_loading_time
-        if pi_iter % cfg.output.print_iter == 0:
-            print_meters(meters, logger)
-        add_to_meters_in_dict(meters, meters_running)
-        num_steps_for_logging += 1
+        meters_list = p_finalize()
+        for pi_iter, meters in zip(p_iters, meters_list):
+            meters = dict(meters)
+            meters["loading_time"] = p_loading_time / len(p_iters)
+            if pi_iter % cfg.output.print_iter == 0:
+                print_meters(meters, logger)
+            add_to_meters_in_dict(meters, meters_running)
+            num_steps_for_logging += 1
 
     best_model_metric = None
     best_model_dataset_name = None
@@ -723,22 +893,29 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=0,
                                  full_log=full_log, backend=ckpt_backend)
 
+        # K-step dispatch groups (cfg.tpu.train_steps_per_dispatch > 1):
+        # consecutive same-signature iterations run as ONE lax.scan program
+        # (TrainStep.multi), hiding the per-step dispatch+sync tunnel
+        # latency; groups flush at eval/mining/checkpoint/epoch boundaries
+        k_dispatch = max(1, int(cfg.tpu.get("train_steps_per_dispatch", 1)))
+        mine_iter = int(cfg.train.mining.mine_hard_patches_iter)
+        max_iter = int(cfg.train.optim.max_iter)
         prefetcher = BatchPrefetcher(
-            dataloader_train,
+            dataloader_train, depth=k_dispatch + 1,
             prepare_fn=None if mesh is not None else prepare_batch_arrays,
         )
-        pending = False  # a batch is scheduled on the prefetcher
+        pending = 0  # batches scheduled on the prefetcher, not yet fetched
         i_epoch = 0
         i_batch = len(dataloader_train)
-        for i_iter in range(start_iter, cfg.train.optim.max_iter):
+        i_iter = start_iter
+        while i_iter < max_iter:
             if i_batch >= len(dataloader_train):
                 assert not pending  # never shuffle under a scheduled batch
                 i_epoch += 1
                 i_batch = 0
                 dataloader_train.shuffle()
 
-            if (cfg.train.mining.do_mining
-                    and i_iter % cfg.train.mining.mine_hard_patches_iter == 0):
+            if cfg.train.mining.do_mining and i_iter % mine_iter == 0:
                 from .mining import mine_hard_patches
 
                 hardnegdata = mine_hard_patches(
@@ -746,39 +923,107 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 )
                 dataloader_train.set_hard_negative_data(hardnegdata)
 
+            # group length: up to k_dispatch iters, stopping at the next
+            # boundary (end of epoch / eval / mining / periodic checkpoint /
+            # max_iter) so every boundary still sees up-to-date params
+            group_len = min(
+                k_dispatch,
+                max_iter - i_iter,
+                len(dataloader_train) - i_batch,
+                cfg.eval.iter - (i_iter % cfg.eval.iter),
+            )
+            if cfg.train.mining.do_mining:
+                group_len = min(group_len, mine_iter - (i_iter % mine_iter))
+            if cfg.output.path and cfg.output.save_iter:
+                save_iter = int(cfg.output.save_iter)
+                nxt = (i_iter if i_iter % save_iter == 0
+                       else i_iter + save_iter - i_iter % save_iter)
+                if nxt < i_iter + group_len:
+                    group_len = nxt - i_iter + 1
+
             logger.info(
-                f"Iter {i_iter} ({cfg.train.optim.max_iter}), epoch {i_epoch}, "
-                f"time {time_since(t_start)}"
+                f"Iter {i_iter}"
+                + (f"-{i_iter + group_len - 1}" if group_len > 1 else "")
+                + f" ({max_iter}), epoch {i_epoch}, time {time_since(t_start)}"
             )
 
             t_load = time.time()
-            if not pending:
-                prefetcher.schedule(i_batch)
-            _, batch, prepared = prefetcher.get()
-            pending = False
+            while pending < group_len:
+                prefetcher.schedule(i_batch + pending)
+                pending += 1
+            group = []
+            for _ in range(group_len):
+                _, b, prep = prefetcher.get()
+                pending -= 1
+                group.append((b, prep))
             loading_time = time.time() - t_load
-            i_batch += 1
-            # schedule the next batch unless a shuffle or mining pass intervenes
-            next_is_mining = (
-                cfg.train.mining.do_mining
-                and (i_iter + 1) % cfg.train.mining.mine_hard_patches_iter == 0
-            )
-            if i_batch < len(dataloader_train) and not next_is_mining:
-                prefetcher.schedule(i_batch)
-                pending = True
+            i_batch += group_len
+            group_end = i_iter + group_len
 
-            # one-behind metrics: dispatch step i, THEN read step i-1's
-            # metrics so the per-step device->host sync rides behind step
-            # i's compute (same pattern as the eval loop's pending
-            # detections); flushed before anything that reads meters_running
-            params, opt_state, finalize = train_one_batch(
-                batch, params, opt_state, train_step, logger,
-                dump_dir=cfg.output.path or None, mesh=mesh,
-                prepared=prepared, defer_metrics=True,
-            )
-            new_pending_meters = (i_iter, loading_time, finalize)
+            # schedule ahead for the next group: within this epoch and never
+            # past a mining boundary (mining swaps the dataloader's
+            # hard-negative data, so pre-mining fetches would be stale)
+            ahead = min(k_dispatch, len(dataloader_train) - i_batch,
+                        max_iter - group_end)
+            if cfg.train.mining.do_mining:
+                ahead = 0 if group_end % mine_iter == 0 else min(
+                    ahead, mine_iter - (group_end % mine_iter))
+            while pending < ahead:
+                prefetcher.schedule(i_batch + pending)
+                pending += 1
+
+            # one-behind metrics: dispatch group g, THEN read group g-1's
+            # metrics so the device->host sync rides behind group g's
+            # compute; flushed before anything that reads meters_running
+            if group_len == 1:
+                batch, prepared = group[0]
+                params, opt_state, fin_one = train_one_batch(
+                    batch, params, opt_state, train_step, logger,
+                    dump_dir=cfg.output.path or None, mesh=mesh,
+                    prepared=prepared, defer_metrics=True,
+                )
+                finalize = (lambda f: (lambda: [f()]))(fin_one)
+            else:
+                prepared_list = [
+                    prep if prep is not None else prepare_batch_arrays(b)
+                    for b, prep in group
+                ]
+                # batches with different image/anchor signatures (a bucket
+                # switch mid-group) cannot share one compiled scan; split
+                # the group into maximal same-signature runs
+                runs, run_start = [], 0
+                for j in range(1, len(prepared_list)):
+                    if (batch_signature(prepared_list[j])
+                            != batch_signature(prepared_list[run_start])):
+                        runs.append((run_start, j))
+                        run_start = j
+                runs.append((run_start, len(prepared_list)))
+                fins = []
+                for (rs, re) in runs:
+                    if re - rs == 1:
+                        params, opt_state, f1 = train_one_batch(
+                            group[rs][0], params, opt_state, train_step,
+                            logger, dump_dir=cfg.output.path or None,
+                            mesh=mesh, prepared=prepared_list[rs],
+                            defer_metrics=True,
+                        )
+                        fins.append((lambda f: (lambda: [f()]))(f1))
+                    else:
+                        params, opt_state, fk = train_k_batches(
+                            prepared_list[rs:re], params, opt_state,
+                            train_step, logger,
+                            dump_dir=cfg.output.path or None, mesh=mesh,
+                        )
+                        fins.append(fk)
+                finalize = (lambda fs: (lambda: [
+                    m for f in fs for m in f()]))(fins)
+            new_pending_meters = (
+                list(range(i_iter, group_end)), loading_time, finalize)
             _consume_pending_meters()
             pending_meters = new_pending_meters
+            i_iter = group_end - 1  # boundary handling below refers to the
+            # LAST iter of the group (group_len was capped so any boundary
+            # falls exactly there); the loop tail advances to group_end
 
             if (i_iter + 1) % cfg.eval.iter == 0:
                 _consume_pending_meters()
@@ -841,9 +1086,12 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 checkpoint_model(params, opt_state, cfg.output.path, i_iter=i_iter,
                                  full_log=full_log, backend=ckpt_backend)
 
+            i_iter = group_end
+
         _consume_pending_meters()
-        if pending:
+        while pending:
             prefetcher.get()
+            pending -= 1
         prefetcher.close()
 
     logger.info("Final evaluation")

@@ -60,19 +60,23 @@ def shard_classes(mesh: Mesh, class_feats, pool_mask):
     return jax.device_put(class_feats, s), jax.device_put(pool_mask, s)
 
 
-def make_sharded_train_inputs(mesh: Mesh, params, opt_state, batch_arrays):
+def make_sharded_train_inputs(mesh: Mesh, params, opt_state, batch_arrays,
+                              batch_axis: int = 0):
     """Distribute one train step's inputs: params/opt replicated, batch sharded.
 
-    Per-batch arrays with a leading image-batch axis shard over "data"; class
-    images and anchors are replicated (every chip needs all classes).
+    Per-batch arrays shard their image-batch axis over "data"; class images
+    and anchors are replicated (every chip needs all classes). `batch_axis=1`
+    handles K-step stacked groups ([K, B, ...] arrays, TrainStep.multi):
+    the step axis replicates, the image axis shards.
     """
     params = replicate(mesh, params)
     opt_state = replicate(mesh, opt_state)
     sharded = {}
     batch_keys = {"images", "gt_boxes", "gt_labels", "gt_difficult", "gt_valid"}
+    spec = P(*([None] * batch_axis), DATA_AXIS)
     for k, v in batch_arrays.items():
         if k in batch_keys:
-            sharded[k] = jax.device_put(v, NamedSharding(mesh, P(DATA_AXIS)))
+            sharded[k] = jax.device_put(v, NamedSharding(mesh, spec))
         else:
             sharded[k] = jax.device_put(v, NamedSharding(mesh, P()))
     return params, opt_state, sharded

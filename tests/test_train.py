@@ -304,3 +304,85 @@ def test_nan_reproducer_dump_and_reload(train_setup, tmp_path):
         payload["num_classes"],
     )
     assert not np.isfinite(float(metrics["grad_norm"]))
+
+
+def test_multi_step_dispatch_matches_sequential(train_setup):
+    """TrainStep.multi (K steps in one lax.scan program) reproduces K
+    sequential single-step dispatches: per-step metrics and the final
+    params agree (the scan body IS the single-step function)."""
+    from os2d_tpu.engine.train import (
+        prepare_batch_arrays, stack_prepared_batches,
+    )
+
+    cfg, dataloader, model_cfg, model, params = train_setup
+    obj_cfg = ObjectiveConfig()
+    mask = build_trainable_mask(params, cfg.train)
+    optimizer = create_optimizer(cfg.train.optim, mask)
+
+    # batch 0 three times: the tail batch of this tiny dataset has a smaller
+    # image batch (B=1), which legitimately cannot share a scan group (the
+    # loop splits such runs); augmentation still varies the three fetches
+    prepared = [
+        prepare_batch_arrays(dataloader.get_batch(0)) for _ in range(3)
+    ]
+    step = TrainStep(model_cfg, obj_cfg, optimizer, cfg.train)
+
+    p_seq, o_seq = params, optimizer.init(params)
+    metrics_seq = []
+    for arrays, c_pad in prepared:
+        p_seq, o_seq, m = step(p_seq, o_seq, arrays, c_pad)
+        metrics_seq.append(dict(m.items()))
+
+    stacked, c_pad = stack_prepared_batches(prepared)
+    p_multi, o_multi, keys, vecs = step.multi(
+        params, optimizer.init(params), stacked, c_pad
+    )
+    vecs = np.asarray(vecs)
+    assert vecs.shape == (3, len(keys))
+    for j, m_seq in enumerate(metrics_seq):
+        for ki, k in enumerate(keys):
+            np.testing.assert_allclose(
+                vecs[j, ki], m_seq[k], rtol=5e-4, atol=1e-5,
+                err_msg=f"step {j} metric {k}")
+    for a, b in zip(jax.tree_util.tree_leaves(p_seq),
+                    jax.tree_util.tree_leaves(p_multi)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_trainval_loop_multi_step_dispatch_matches_single(train_setup,
+                                                          tmp_path):
+    """trainval_loop with cfg.tpu.train_steps_per_dispatch=2 reproduces the
+    single-step loop's training-loss trajectory (groups flush at the eval
+    cadence; same batches via a shared seed)."""
+    from os2d_tpu.utils.logger import set_random_seed
+
+    cfg, dataloader, model_cfg, model, params = train_setup
+    obj_cfg = ObjectiveConfig()
+
+    def run(k_dispatch, out):
+        cfg2 = cfg.clone()
+        cfg2.train.optim.max_iter = 4
+        cfg2.eval.iter = 2
+        cfg2.output.path = str(tmp_path / out)
+        cfg2.tpu.train_steps_per_dispatch = k_dispatch
+        mask = build_trainable_mask(params, cfg2.train)
+        optimizer = create_optimizer(cfg2.train.optim, mask)
+        opt_state = optimizer.init(params)
+        set_random_seed(7)  # global RNGs: augmentation draws in transforms
+        # a FRESH loader per run: the shared fixture loader carries mutable
+        # bucket-order + RNG state across runs, which changes the batch
+        # sequence (measured: two identical k=1 runs differ ~0.7%)
+        loader_run, _ = build_train_dataloader_from_config(
+            cfg2, dataset_train=dataloader.dataset
+        )
+        _, _, full_log, _ = trainval_loop(
+            loader_run, model, params, cfg2, obj_cfg, optimizer, opt_state,
+            dataloaders_eval=[],
+        )
+        return np.asarray(full_log["train_loss"], np.float64)
+
+    traj_single = run(1, "out_k1")
+    traj_multi = run(2, "out_k2")
+    assert traj_single.size >= 2
+    np.testing.assert_allclose(traj_multi, traj_single, rtol=1e-3, atol=1e-5)

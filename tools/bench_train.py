@@ -144,6 +144,48 @@ def main():
         flush=True,
     )
 
+    # ---- K-step dispatch groups (cfg.tpu.train_steps_per_dispatch > 1) ----
+    k = int(os.environ.get("OS2D_TRAIN_K", "8"))
+    if k <= 1:
+        return
+    from os2d_tpu.engine.train import train_k_batches
+
+    prefetcher = BatchPrefetcher(loader, depth=k + 1,
+                                 prepare_fn=prepare_batch_arrays)
+
+    def get_group(g):
+        for j in range(k):
+            prefetcher.schedule((g * k + j) % len(loader))
+        return [prefetcher.get()[2] for _ in range(k)]
+
+    t0 = time.time()
+    group = get_group(0)
+    params, opt_state, fin = train_k_batches(
+        group, params, opt_state, step, logger)
+    fin()
+    print(f"compile K={k} group took {time.time() - t0:.1f}s", flush=True)
+
+    n_groups = max(2, n_steps // k)
+    t0 = time.time()
+    pending_fin = None
+    for g in range(1, n_groups + 1):
+        group = get_group(g)
+        params, opt_state, fin = train_k_batches(
+            group, params, opt_state, step, logger)
+        if pending_fin is not None:
+            pending_fin()
+        pending_fin = fin
+    meters = pending_fin()[-1]
+    dt = time.time() - t0
+    prefetcher.close()
+    steps = n_groups * k
+    print(
+        f"K={k} multi-dispatch: {steps} steps in {dt:.1f}s = "
+        f"{steps / dt:.2f} steps/s ({steps / dt * cfg.train.batch_size:.1f} "
+        f"img/s); final loss {meters['loss']:.4f}",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
     main()
