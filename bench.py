@@ -129,20 +129,24 @@ def main():
     with maybe_trace_from_env():
         for i_pass in range(N_PASSES):
             t0 = time.time()
-            # double-buffer: upload batch i+1 while batch i computes (the
-            # axon tunnel upload is ~120 ms/image and otherwise serializes
-            # with compute — measured compute-only 5.2 vs end-to-end 3.2)
-            # additionally hold each packed result one step before blocking,
-            # hiding its ~18 ms download latency behind the next compute
-            dev = jax.device_put(batches[0])
+            # upload lookahead (depth OS2D_BENCH_PREFETCH, default 2): keep
+            # the next `depth` batch uploads in flight while batch i computes
+            # (the axon tunnel upload otherwise serializes with compute —
+            # measured compute-only 5.2 vs end-to-end 3.2; depth 2 rides out
+            # per-batch tunnel jitter). Each packed result is additionally
+            # held one step before blocking, hiding its ~18 ms download
+            # latency behind the next compute.
+            depth = int(os.environ.get("OS2D_BENCH_PREFETCH", "2"))
+            devs = {i: jax.device_put(batches[i])
+                    for i in range(min(depth, n_batches))}
             pending = None
             for i in range(n_batches):
                 det = evaluator.detect_images(
-                    params, dev, class_head, level_sizes, inverse_scales,
-                    img_norm,
+                    params, devs.pop(i), class_head, level_sizes,
+                    inverse_scales, img_norm,
                 )
-                if i + 1 < n_batches:
-                    dev = jax.device_put(batches[i + 1])
+                if i + depth < n_batches:
+                    devs[i + depth] = jax.device_put(batches[i + depth])
                 if pending is not None:
                     np.asarray(pending)
                 pending = det

@@ -177,6 +177,17 @@ def head_forward(
     feats_t = class_head.class_feats.transpose(0, 2, 1, 3).reshape(
         c, TEMPLATE_W * TEMPLATE_H, f
     )
+    t_dim = TEMPLATE_W * TEMPLATE_H
+    # lane-pad experiment (OS2D_CORR_PAD=1): emit corr with T padded 225->256
+    # so the (8,128)-tiled minor dim needs no re-pad before the TN conv
+    # (r2 profile: ~21 ms/dispatch of layout copies feeding the conv);
+    # zero template channels are exact (relu(0)=0, L2-norm and conv with
+    # zero-padded kernels unchanged); the resample slices the real 225 back
+    import os as _os
+
+    t_store = 256 if _os.environ.get("OS2D_CORR_PAD", "0") == "1" else t_dim
+    if t_store != t_dim:
+        feats_t = jnp.pad(feats_t, ((0, 0), (0, t_store - t_dim), (0, 0)))
     corr = jnp.einsum(
         "bhwf,ctf->bchwt",
         fm.astype(compute_dtype),
@@ -185,8 +196,10 @@ def head_forward(
     )
 
     # regress transformation parameters per (image, class, anchor)
-    tn_in = corr.reshape(b * c, h, w, TEMPLATE_W * TEMPLATE_H)
+    tn_in = corr.reshape(b * c, h, w, t_store)
     tparams = transform_net_forward(transform_net_params, tn_in, compute_dtype)
+    if t_store != t_dim:
+        corr = corr[..., :t_dim]
     theta = _prepare_theta(tparams.reshape(-1, tparams.shape[-1]), simple_affine)
     if use_inverse_geom_model:
         theta = invert_affine_2x3(theta)
