@@ -157,16 +157,34 @@ def main():
     median_rate = float(np.median(pass_rates))
 
     # compute-only: images pre-staged on device, isolating the uint8 upload
-    # (the axon tunnel) from on-chip compute + detection download
+    # (the axon tunnel) from on-chip compute. Dispatches run one-behind
+    # (block on result i-1 after dispatching i) so the measured rate is the
+    # device BUSY rate, not busy + a ~30-50 ms tunnel sync per dispatch —
+    # the end-to-end passes above pipeline the same way, so this is the
+    # matching denominator (r3; the serial variant is reported alongside).
     dev_batches = [jax.device_put(b) for b in batches]
     np.asarray(dev_batches[-1][0, 0, 0])  # sync the uploads
-    compute_rates = []
+    compute_rates, serial_rates = [], []
     for _ in range(3):
+        t0 = time.time()
+        pending = None
+        for _ in range(2):  # 2 rounds amortize the final sync
+            for b in dev_batches:
+                det = evaluator.detect_images(
+                    params, b, class_head, level_sizes, inverse_scales,
+                    img_norm,
+                )
+                if pending is not None:
+                    np.asarray(pending)
+                pending = det
+        np.asarray(pending)
+        compute_rates.append(2 * n_timed_images / (time.time() - t0))
         t0 = time.time()
         for b in dev_batches:
             run_batch(b)
-        compute_rates.append(n_timed_images / (time.time() - t0))
+        serial_rates.append(n_timed_images / (time.time() - t0))
     compute_rate = float(np.median(compute_rates))
+    serial_rate = float(np.median(serial_rates))
 
     mfu_pct = median_rate * ALGORITHMIC_TFLOP_PER_IMAGE / PEAK_BF16_TFLOPS * 100.0
     mfu_exec_pct = (
@@ -176,7 +194,8 @@ def main():
     print(
         f"median {median_rate:.3f} img/s over {N_PASSES} passes "
         f"(spread {min(pass_rates):.3f}-{max(pass_rates):.3f}); "
-        f"compute-only {compute_rate:.3f} img/s; MFU ~{mfu_pct:.2f}% of bf16 "
+        f"compute-only {compute_rate:.3f} img/s pipelined "
+        f"({serial_rate:.3f} serial); MFU ~{mfu_pct:.2f}% of bf16 "
         f"peak (executed-FLOP device MFU ~{mfu_exec_pct:.2f}%)",
         file=sys.stderr,
     )
@@ -192,6 +211,7 @@ def main():
                 "passes": [round(r, 4) for r in pass_rates],
                 "images_per_dispatch": BATCH,
                 "compute_only_images_per_sec": round(compute_rate, 4),
+                "compute_only_serial_images_per_sec": round(serial_rate, 4),
                 "mfu_pct_of_bf16_peak": round(mfu_pct, 3),
                 "executed_flop_mfu_pct": round(mfu_exec_pct, 3),
                 "baseline_denominator": {

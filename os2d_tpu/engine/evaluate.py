@@ -596,17 +596,19 @@ class Evaluator:
     def prescreen_applicable(self, class_head, num_views: int = 1) -> bool:
         """The no-miss class prescreen is available when the decode threshold is
         finite (scores are mask-weighted averages of correlations, so the
-        per-class correlation ceiling bounds every decodable score), NMS does
-        not cross classes (padded rows must not suppress real ones) and the
-        bank is fp32. Composes with a class-sharded mesh (both phases shard
-        their class chunks); image-axis sharding is not supported (the
-        surviving class set is chosen jointly for the whole batch)."""
+        per-class correlation ceiling bounds every decodable score) and the
+        bank is fp32. Under nms_across_classes the padded duplicate rows are
+        score-masked to -inf in phase 2 so they cannot suppress real
+        detections in the joint NMS; pruned classes cannot suppress anything
+        either (they have no detections above the decode threshold).
+        Composes with a class-sharded mesh (both phases shard their class
+        chunks); image-axis sharding is not supported (the surviving class
+        set is chosen jointly for the whole batch)."""
         from ..models.head import QuantizedClassHead
 
         return (
             bool(self.cfg.tpu.get("eval_class_prescreen", True))
             and np.isfinite(float(self.cfg.eval.nms_score_threshold))
-            and not bool(self.cfg.eval.nms_across_classes)
             and not isinstance(class_head, QuantizedClassHead)
             and (self.mesh is None
                  or str(self.cfg.tpu.get("eval_shard_axis", "classes"))
@@ -769,7 +771,7 @@ class Evaluator:
             g_rows = (c_sel_pad // num_views) * num_views
 
             @jax.jit
-            def head_decode(params, fms, sub_feats, sub_mask):
+            def head_decode(params, fms, sub_feats, sub_mask, row_valid):
                 feats_r = _shard_chunked(sub_feats.reshape(
                     (n_chunks2, chunk) + sub_feats.shape[1:]))
                 mask_r = _shard_chunked(sub_mask.reshape(
@@ -780,23 +782,30 @@ class Evaluator:
                         model.config, params["transform_net"], fm,
                         feats_r, mask_r,
                     )
+                    # padded duplicate rows must not suppress real ones in a
+                    # joint (nms_across_classes) NMS: mask their scores to
+                    # -inf so decode drops them before suppression
+                    clss = jnp.where(
+                        row_valid[None, :g_rows, None], clss[:, :g_rows],
+                        -jnp.inf,
+                    )
                     loc_p.append(locs[:, :g_rows])
-                    cls_p.append(clss[:, :g_rows])
-                # padded duplicate rows must not suppress real ones, so the
-                # prescreen is gated off under nms_across_classes
+                    cls_p.append(clss)
                 return _decode_and_pack(
-                    loc_p, cls_p, sizes, scales, num_views, cfg, False,
+                    loc_p, cls_p, sizes, scales, num_views, cfg,
+                    bool(cfg.eval.nms_across_classes),
                 )
 
             self._decode_cache[key2] = head_decode
 
+        row_valid = jnp.asarray(np.arange(c_sel_pad) < n_sel_rows)
         if self.mesh is not None:
             with self.mesh:
                 packed = np.asarray(self._decode_cache[key2](
-                    params, fms, sub_feats, sub_mask))
+                    params, fms, sub_feats, sub_mask, row_valid))
         else:
             packed = np.asarray(self._decode_cache[key2](
-                params, fms, sub_feats, sub_mask))
+                params, fms, sub_feats, sub_mask, row_valid))
         full = np.zeros((n_img, n_groups, top_k, 6), np.float32)
         full[:, sel] = packed[:, : sel.size]
         return full

@@ -53,6 +53,27 @@ ANCHOR_BOX, ANCHOR_STRIDE = compose_receptive_field(
 POOL_BORDER_WIDTH = 2
 
 
+def _interior_permutation(border: int = POOL_BORDER_WIDTH):
+    """Permutation of the t = tx*th + ty template axis that places the
+    (15-2*border)^2 INTERIOR points first (in the compacted order the
+    resample consumes) and the border points last.
+
+    The pool mask zeroes the border, so the resample only reads the interior
+    — but compacting it from the natural channel order is a strided slice of
+    the minor dim, which XLA materializes as a slow whole-tensor relayout
+    (~21 ms/dispatch in the r2 profile). Emitting the correlation tensor
+    with this permutation makes the interior a contiguous prefix slice; the
+    TransformationNet conv is channel-permutation-invariant once its kernel
+    rows are permuted to match."""
+    interior = [tx * TEMPLATE_H + ty
+                for tx in range(border, TEMPLATE_W - border)
+                for ty in range(border, TEMPLATE_H - border)]
+    inside = set(interior)
+    border_idx = [t for t in range(TEMPLATE_W * TEMPLATE_H)
+                  if t not in inside]
+    return interior + border_idx
+
+
 def make_class_pool_mask(num_classes: int, dtype=jnp.float32):
     """[C, 15, 15] pooling mask: border of width 2 zeroed, spatially normalized
     (os2d/modeling/head.py:296-302)."""
@@ -178,13 +199,21 @@ def head_forward(
         c, TEMPLATE_W * TEMPLATE_H, f
     )
     t_dim = TEMPLATE_W * TEMPLATE_H
-    # lane-pad experiment (OS2D_CORR_PAD=1): emit corr with T padded 225->256
-    # so the (8,128)-tiled minor dim needs no re-pad before the TN conv
-    # (r2 profile: ~21 ms/dispatch of layout copies feeding the conv);
-    # zero template channels are exact (relu(0)=0, L2-norm and conv with
-    # zero-padded kernels unchanged); the resample slices the real 225 back
     import os as _os
 
+    # interior-first template channel order (OS2D_CORR_PERM=1): the resample
+    # then reads a contiguous [..., :121] prefix instead of a strided
+    # interior compaction of the minor dim (a slow whole-tensor relayout,
+    # ~21 ms/dispatch in the r2 profile); the TN conv kernel rows permute to
+    # match, so the computation is exactly the reference's
+    perm = None
+    if _os.environ.get("OS2D_CORR_PERM", "0") == "1":
+        perm = _interior_permutation()
+        feats_t = feats_t[:, jnp.asarray(perm), :]
+    # lane-pad experiment (OS2D_CORR_PAD=1): emit corr with T padded 225->256
+    # so the (8,128)-tiled minor dim needs no re-pad before the TN conv;
+    # zero template channels are exact (relu(0)=0, L2-norm and conv with
+    # zero-padded kernels unchanged); the resample slices the real 225 back
     t_store = 256 if _os.environ.get("OS2D_CORR_PAD", "0") == "1" else t_dim
     if t_store != t_dim:
         feats_t = jnp.pad(feats_t, ((0, 0), (0, t_store - t_dim), (0, 0)))
@@ -197,7 +226,16 @@ def head_forward(
 
     # regress transformation parameters per (image, class, anchor)
     tn_in = corr.reshape(b * c, h, w, t_store)
-    tparams = transform_net_forward(transform_net_params, tn_in, compute_dtype)
+    if perm is not None:
+        # permute conv0's input-channel rows to match the corr channel order
+        tn_params = dict(transform_net_params)
+        c0 = tn_params["conv0"]
+        tn_params["conv0"] = {
+            "w": c0["w"][:, :, jnp.asarray(perm), :], "b": c0["b"]
+        }
+    else:
+        tn_params = transform_net_params
+    tparams = transform_net_forward(tn_params, tn_in, compute_dtype)
     if t_store != t_dim:
         corr = corr[..., :t_dim]
     theta = _prepare_theta(tparams.reshape(-1, tparams.shape[-1]), simple_affine)
@@ -224,15 +262,30 @@ def head_forward(
 
     # the pool mask zeroes the 2-wide template border, so the resample skips
     # those points entirely (bit-identical, 1.86x less gather work)
-    cls = resample_correlation_map_masked(
-        corr, grids_unit, class_head.pool_mask, POOL_BORDER_WIDTH,
-        precision=resample_precision,
-    )
+    if perm is not None:
+        # interior-first channel order: the interior is a contiguous prefix
+        from ..ops.sampling import resample_correlation_map
+
+        bw = POOL_BORDER_WIDTH
+        ts = slice(bw, TEMPLATE_H - bw)
+        n_int = (TEMPLATE_H - 2 * bw) * (TEMPLATE_W - 2 * bw)
+        corr_int = corr[..., :n_int]
+        mask_sub = class_head.pool_mask[..., ts, ts]
+
+        def _resample(g):
+            return resample_correlation_map(
+                corr_int, g[..., ts, ts, :], mask_sub,
+                precision=resample_precision)
+    else:
+        def _resample(g):
+            return resample_correlation_map_masked(
+                corr, g, class_head.pool_mask, POOL_BORDER_WIDTH,
+                precision=resample_precision,
+            )
+
+    cls = _resample(grids_unit)
     if train_mode:
-        cls_detached = resample_correlation_map_masked(
-            corr, jax.lax.stop_gradient(grids_unit), class_head.pool_mask,
-            POOL_BORDER_WIDTH, precision=resample_precision,
-        )
+        cls_detached = _resample(jax.lax.stop_gradient(grids_unit))
     else:
         cls_detached = cls
 

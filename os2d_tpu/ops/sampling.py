@@ -175,6 +175,26 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     # the whole corr tensor into a chunk-leading stacked layout — profiled at
     # >60% of device time as copy-start/copy-done pairs. Static slices fuse
     # into the einsums with no staging copies (tools/profile_fused.py, r2).
+    # bf16-native hat generation (OS2D_HAT_BF16=1): split the coordinate into
+    # integer + fraction on the SMALL [B,C,T,A] tensor, then build the hat
+    # from exactly-representable bf16 pieces (integers <= 256 are exact in
+    # bf16; the fraction only matters within the 2-wide support where bf16
+    # spacing is 2^-9 ~= the 'default'-tier matmul rounding anyway). Skips
+    # the fp32->bf16 convert pass the einsum would otherwise insert.
+    import os as _os
+
+    hat_bf16 = (_os.environ.get("OS2D_HAT_BF16", "0") == "1"
+                and not int8_tier and precision == "default")
+
+    def _hat(p_i, iota):
+        if hat_bf16:
+            p0 = jnp.floor(p_i)
+            frac = (p_i - p0).astype(jnp.bfloat16)
+            d = (p0.astype(jnp.bfloat16)[..., None]
+                 - iota.astype(jnp.bfloat16)) + frac[..., None]
+            return jnp.maximum(jnp.bfloat16(0.0), 1.0 - jnp.abs(d))
+        return jnp.maximum(0.0, 1.0 - jnp.abs(p_i[..., None] - iota))
+
     scores = jnp.zeros((b, c, a), jnp.float32)
     for k in range(n_chunks):
         ts = slice(k * t_chunk, (k + 1) * t_chunk)
@@ -182,8 +202,8 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
         py_i = py[:, :, ts]
         corr_i = corr_p[..., ts]
         mask_i = mask_t[:, ts]
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(py_i[..., None] - iota_h))
-        wx = jnp.maximum(0.0, 1.0 - jnp.abs(px_i[..., None] - iota_w))
+        wy = _hat(py_i, iota_h)
+        wx = _hat(px_i, iota_w)
         if int8_tier:
             wy_q = jnp.round(wy * 127.0).astype(jnp.int8)
             r = jnp.einsum("bctah,bchwt->bctaw", wy_q, corr_i,
@@ -192,6 +212,14 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
             out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
                              preferred_element_type=jnp.float32,
                              precision="default")
+        elif hat_bf16:
+            # operands are already bf16 -> XLA runs the single-pass MXU
+            # matmul directly, no convert pass; fp32 accumulation as before
+            r = jnp.einsum("bctah,bchwt->bctaw", wy,
+                           corr_i.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            out = jnp.einsum("bctaw,bctaw->bcta", r.astype(jnp.bfloat16),
+                             wx, preferred_element_type=jnp.float32)
         else:
             r = jnp.einsum("bctah,bchwt->bctaw", wy, corr_i,
                            preferred_element_type=jnp.float32,

@@ -110,12 +110,37 @@ def test_prescreen_not_applicable_cases(setup):
     cfg.eval.nms_score_threshold = 0.5
     assert ev.prescreen_applicable(head)
     cfg.eval.nms_across_classes = True
-    assert not ev.prescreen_applicable(head)  # padded rows must not suppress
+    assert ev.prescreen_applicable(head)  # padded rows are score-masked (r3)
     cfg.eval.nms_across_classes = False
     cfg.tpu.eval_class_prescreen = False
     assert not ev.prescreen_applicable(head)
     cfg.tpu.eval_class_prescreen = True
     cfg.eval.nms_score_threshold = float("-inf")
+
+
+def test_prescreen_nms_across_classes_matches_full(setup):
+    """With joint (across-class) NMS the prescreen's padded duplicate rows
+    are score-masked to -inf in phase 2, so they cannot suppress genuine
+    detections; the surviving rows must match the full fused path."""
+    cfg, model, params, scene, head, sizes, inv, norm = setup
+    cfg.eval.nms_across_classes = True
+    ev = Evaluator(model, cfg)
+    full0 = np.asarray(
+        ev.detect_images(params, scene[None], head, sizes, inv, norm))
+    per_class_max = unpack_detections(full0)["scores"][0].max(1)
+    thr = float(np.median(per_class_max))
+    cfg.eval.nms_score_threshold = thr
+    assert ev.prescreen_applicable(head)
+
+    full = np.asarray(
+        ev.detect_images(params, scene[None], head, sizes, inv, norm))
+    pre = ev.detect_images_prescreened(
+        params, scene[None], head, sizes, inv, norm)
+    kept = (unpack_detections(pre)["valid"][0].sum(1) > 0)
+    assert 0 < kept.sum() < head.class_feats.shape[0], kept
+    _assert_rows_equal(full, pre)
+    cfg.eval.nms_score_threshold = float("-inf")
+    cfg.eval.nms_across_classes = False
 
 
 def test_evaluate_routes_through_prescreen(tmp_path):
