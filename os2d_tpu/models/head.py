@@ -168,6 +168,7 @@ def head_forward(
     train_mode: bool = False,
     compute_dtype=jnp.float32,
     resample_precision: str = "default",
+    corr_interior_first: bool = True,
 ):
     """Score every (image, class, anchor) triple.
 
@@ -201,13 +202,19 @@ def head_forward(
     t_dim = TEMPLATE_W * TEMPLATE_H
     import os as _os
 
-    # interior-first template channel order (OS2D_CORR_PERM=1): the resample
-    # then reads a contiguous [..., :121] prefix instead of a strided
-    # interior compaction of the minor dim (a slow whole-tensor relayout,
-    # ~21 ms/dispatch in the r2 profile); the TN conv kernel rows permute to
-    # match, so the computation is exactly the reference's
+    # interior-first template channel order (default, Os2dConfig
+    # .corr_interior_first; OS2D_CORR_PERM=0/1 force-overrides for A/B): the
+    # resample then reads a contiguous [..., :121] prefix instead of a
+    # strided interior compaction of the minor dim (a slow whole-tensor
+    # relayout, ~21 ms/dispatch at C=16 r2, ~200 ms/dispatch at C=1024 r3
+    # profiles); the TN conv kernel rows permute to match, so the
+    # computation is exactly the reference's up to channel summation order
+    # (mAP-gated: dmAP +0.0000, tools/map_sensitivity.py r3)
+    env_perm = _os.environ.get("OS2D_CORR_PERM")
+    if env_perm is not None:
+        corr_interior_first = env_perm == "1"
     perm = None
-    if _os.environ.get("OS2D_CORR_PERM", "0") == "1":
+    if corr_interior_first:
         perm = _interior_permutation()
         feats_t = feats_t[:, jnp.asarray(perm), :]
     # lane-pad experiment (OS2D_CORR_PAD=1): emit corr with T padded 225->256

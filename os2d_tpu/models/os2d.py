@@ -62,6 +62,12 @@ class Os2dConfig:
     resample_precision: str = "default"  # 'highest' = fp32-exact, slower;
     # 'default' (1-pass bf16 MXU) measured mAP-neutral vs 'high'
     # (tools/map_sensitivity.py round 2: dmAP +0.0000, score delta ~3e-4)
+    corr_interior_first: bool = True  # emit the correlation tensor with the
+    # pool-mask interior as a contiguous channel prefix (models/head.py
+    # _interior_permutation): kills the strided interior-compaction relayout
+    # before the resample (~200 ms/dispatch at C=1024, tools/profile_fused.py
+    # r3); mAP-gated identical to the natural order (dmAP +0.0000, identical
+    # detection deltas, tools/map_sensitivity.py r3)
 
     @property
     def dtype(self):
@@ -155,6 +161,7 @@ class Os2dModel:
             train_mode=train_mode,
             compute_dtype=self.config.dtype,
             resample_precision=self.config.resample_precision,
+            corr_interior_first=self.config.corr_interior_first,
         )
 
     # ---- public API ----

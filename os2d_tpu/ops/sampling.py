@@ -127,10 +127,13 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
 
     Args / returns: see resample_correlation_map_gather (same contract).
     """
+    import os as _os
+
     b, c, h, w, t = corr.shape
     th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
     assert th * tw == t, (th, tw, t)
     a = h * w
+    t_chunk = int(_os.environ.get("OS2D_T_CHUNK", t_chunk))
 
     grids = grids_unit.reshape(b, c, a, th, tw, 2)
     px = (grids[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -175,14 +178,18 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     # the whole corr tensor into a chunk-leading stacked layout — profiled at
     # >60% of device time as copy-start/copy-done pairs. Static slices fuse
     # into the einsums with no staging copies (tools/profile_fused.py, r2).
+    # contract-W-first experiment (OS2D_RESAMPLE_WFIRST=1): the first einsum
+    # contracts over h (K=H, e.g. 96 — misaligned with the MXU's 128 lanes);
+    # contracting w first makes K=W (128 at the largest level, lane-exact),
+    # same FLOPs, potentially better MXU utilization. The h-reduction then
+    # runs as the cheap elementwise second einsum.
+    w_first = _os.environ.get("OS2D_RESAMPLE_WFIRST", "0") == "1"
     # bf16-native hat generation (OS2D_HAT_BF16=1): split the coordinate into
     # integer + fraction on the SMALL [B,C,T,A] tensor, then build the hat
     # from exactly-representable bf16 pieces (integers <= 256 are exact in
     # bf16; the fraction only matters within the 2-wide support where bf16
     # spacing is 2^-9 ~= the 'default'-tier matmul rounding anyway). Skips
     # the fp32->bf16 convert pass the einsum would otherwise insert.
-    import os as _os
-
     hat_bf16 = (_os.environ.get("OS2D_HAT_BF16", "0") == "1"
                 and not int8_tier and precision == "default")
 
@@ -220,6 +227,13 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
                            preferred_element_type=jnp.float32)
             out = jnp.einsum("bctaw,bctaw->bcta", r.astype(jnp.bfloat16),
                              wx, preferred_element_type=jnp.float32)
+        elif w_first:
+            r = jnp.einsum("bctaw,bchwt->bctah", wx, corr_i,
+                           preferred_element_type=jnp.float32,
+                           precision=precision)
+            out = jnp.einsum("bctah,bctah->bcta", r, wy,
+                             preferred_element_type=jnp.float32,
+                             precision=precision)
         else:
             r = jnp.einsum("bctah,bchwt->bctaw", wy, corr_i,
                            preferred_element_type=jnp.float32,

@@ -191,11 +191,20 @@ def main():
                                   resample_precision="default", fold_bn=True),
         "fp32_high_int8bank": dict(compute_dtype="float32",
                                    resample_precision="high", quantize=True),
+        # interior-first template channel order (models/head.py
+        # _interior_permutation): same computation up to channel summation
+        # order in the TN conv / resample einsums, so gate it on mAP here
+        "fp32_default_perm": dict(compute_dtype="float32",
+                                  resample_precision="default",
+                                  env={"OS2D_CORR_PERM": "1"}),
     }
 
     detections = {}
     results = {}
     for name, nc in configs.items():
+        env_flags = nc.get("env", {})
+        for k, v in env_flags.items():
+            os.environ[k] = v
         cfg = get_default_cfg()
         cfg.eval.mAP_iou_thresholds = [0.5]
         cfg.tpu.eval_class_chunk = NUM_CLASSES
@@ -225,6 +234,8 @@ def main():
         )
         print(f"{name}: mAP@0.50={res['mAP@0.50']:.4f} "
               f"recall={res['recall@0.50']:.4f}", flush=True)
+        for k in env_flags:
+            os.environ.pop(k, None)
 
     print("\n=== deltas vs fp32_high ===")
     base = detections["fp32_high"]

@@ -32,18 +32,32 @@ def capture(n=3, logdir="/tmp/os2d_xprof"):
 
     IMG_W, IMG_H = 1280, 960
     PYRAMID = [0.5, 0.625, 0.8, 1, 1.2, 1.4, 1.6]
-    C = 16
+    C = int(os.environ.get("OS2D_PROFILE_C", "16"))
 
     cfg = get_default_cfg()
-    cfg.tpu.eval_class_chunk = C
+    cfg.tpu.eval_class_chunk = min(C, int(os.environ.get("OS2D_CHUNK", "128")))
     model_cfg = Os2dConfig()
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
     rng = np.random.RandomState(0)
-    class_head = model.build_class_head_from_images(
-        params, [jnp.asarray(rng.randn(240, 240, 3).astype(np.float32))
-                 for _ in range(C)]
-    )
+    if C <= 32:
+        class_head = model.build_class_head_from_images(
+            params, [jnp.asarray(rng.randn(240, 240, 3).astype(np.float32))
+                     for _ in range(C)]
+        )
+    else:
+        # large catalogs: replicate one template's features with noise
+        # (building 1024 heads through the backbone takes minutes and is
+        # not what this profiles) — same shortcut as tools/bench_classes.py
+        from os2d_tpu.models.head import ClassHead
+
+        base = model.build_class_head_from_images(
+            params, [jnp.asarray(rng.randn(240, 240, 3).astype(np.float32))]
+        )
+        feats = jnp.tile(base.class_feats, (C, 1, 1, 1))
+        feats = feats + 0.01 * jax.random.normal(
+            jax.random.PRNGKey(1), feats.shape, feats.dtype)
+        class_head = ClassHead(feats, jnp.tile(base.pool_mask, (C, 1, 1)))
     evaluator = Evaluator(model, cfg)
     level_sizes = [FeatureMapSize(w=int(IMG_W * s), h=int(IMG_H * s))
                    for s in PYRAMID]
@@ -104,6 +118,15 @@ def analyze(logdir):
                               for nm, t in top)
             print(f"  line '{line.name}': {len(line.events)} ev, busy "
                   f"{tot:.1f} ms over span {span:.1f} ms | top: {top_s}")
+            if line.name == "XLA Ops" and os.environ.get("OS2D_PROFILE_DEEP"):
+                # compute-core detail: skip nesting wrappers (while/jit
+                # aggregate their bodies, double-counting)
+                flat = [(nm, t) for nm, t in names.items()
+                        if not nm.lstrip("%").startswith(("while", "jit"))]
+                print("  -- compute-core top 40 (while/jit bodies flattened"
+                      " out) --")
+                for nm, t in sorted(flat, key=lambda kv: -kv[1])[:40]:
+                    print(f"   {t/1e12*1000:9.2f} ms  {nm[:130]}")
         by_name = {}
         n_events = 0
         for line in plane.lines:
