@@ -292,6 +292,11 @@ def get_default_cfg() -> ConfigNode:
                                         # dispatch+sync latency on remote/
                                         # tunneled devices; groups flush at
                                         # eval/mining/checkpoint boundaries)
+            train_loader_workers=1,   # host batch-builder threads; >1 scales
+                                        # the PIL pipeline but interleaves
+                                        # augmentation RNG draws across
+                                        # threads (not bit-reproducible vs
+                                        # the single-worker batch order)
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval
             quantize_class_feats=False,  # int8 class-feature bank (4x HBM saving)

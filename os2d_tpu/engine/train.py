@@ -601,21 +601,45 @@ class BatchPrefetcher:
     (SURVEY.md top-level fact #1).
     """
 
-    def __init__(self, dataloader, depth: int = 2, prepare_fn=None):
+    def __init__(self, dataloader, depth: int = 2, prepare_fn=None,
+                 workers: int = 1):
         """`prepare_fn(batch)`, if given, runs in the worker thread after the
         host pipeline — used to START the host->device upload of the batch
         arrays while the previous step computes (jnp.asarray dispatches the
         transfer asynchronously; over the axon tunnel the ~5-15 MB payload
-        otherwise serializes with the step, measured at ~0.5 s/step)."""
+        otherwise serializes with the step, measured at ~0.5 s/step).
+
+        `workers > 1` builds batches in a thread pool (PIL releases the GIL,
+        so the pipeline scales to a few threads) and `get()` still delivers
+        in scheduled order. Opt-in (cfg.tpu.train_loader_workers): the
+        dataloader's augmentation RNG draws then interleave across threads,
+        so batch contents are no longer bit-reproducible against the
+        single-worker order — fine for throughput runs, off by default."""
         import queue
         import threading
 
         self.dataloader = dataloader
         self.prepare_fn = prepare_fn
-        self._queue = queue.Queue(maxsize=depth)
+        self.workers = max(1, int(workers))
         self._request = queue.Queue()
-        self._thread = threading.Thread(target=self._worker, daemon=True)
-        self._thread.start()
+        if self.workers == 1:
+            self._queue = queue.Queue(maxsize=depth)
+            self._threads = [threading.Thread(target=self._worker, daemon=True)]
+        else:
+            # out-of-order completion -> in-order delivery: results keyed by
+            # arrival order ticket; a semaphore keeps <= depth batches built
+            # but not yet consumed (backpressure, as the bounded queue did)
+            self._cv = threading.Condition()
+            self._results = {}
+            self._order = []  # tickets in scheduled order
+            self._next_ticket = 0
+            self._slots = threading.Semaphore(max(depth, self.workers))
+            self._threads = [
+                threading.Thread(target=self._pool_worker, daemon=True)
+                for _ in range(self.workers)
+            ]
+        for t in self._threads:
+            t.start()
 
     def _worker(self):
         while True:
@@ -629,17 +653,48 @@ class BatchPrefetcher:
             except Exception as e:  # surface loader errors to the consumer
                 self._queue.put((index, e, None))
 
+    def _pool_worker(self):
+        while True:
+            item = self._request.get()
+            if item is None:
+                return
+            ticket, index = item
+            self._slots.acquire()
+            try:
+                batch = self.dataloader.get_batch(index)
+                prepared = self.prepare_fn(batch) if self.prepare_fn else None
+                result = (index, batch, prepared)
+            except Exception as e:  # surface loader errors to the consumer
+                result = (index, e, None)
+            with self._cv:
+                self._results[ticket] = result
+                self._cv.notify_all()
+
     def schedule(self, index: int):
-        self._request.put(index)
+        if self.workers == 1:
+            self._request.put(index)
+        else:
+            self._request.put((self._next_ticket, index))
+            self._order.append(self._next_ticket)
+            self._next_ticket += 1
 
     def get(self):
-        index, batch, prepared = self._queue.get()
+        if self.workers == 1:
+            index, batch, prepared = self._queue.get()
+        else:
+            ticket = self._order.pop(0)
+            with self._cv:
+                while ticket not in self._results:
+                    self._cv.wait()
+                index, batch, prepared = self._results.pop(ticket)
+            self._slots.release()
         if isinstance(batch, Exception):
             raise batch
         return index, batch, prepared
 
     def close(self):
-        self._request.put(None)
+        for _ in self._threads:
+            self._request.put(None)
 
 
 def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
@@ -900,9 +955,11 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         k_dispatch = max(1, int(cfg.tpu.get("train_steps_per_dispatch", 1)))
         mine_iter = int(cfg.train.mining.mine_hard_patches_iter)
         max_iter = int(cfg.train.optim.max_iter)
+        loader_workers = max(1, int(cfg.tpu.get("train_loader_workers", 1)))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,
             prepare_fn=None if mesh is not None else prepare_batch_arrays,
+            workers=loader_workers,
         )
         pending = 0  # batches scheduled on the prefetcher, not yet fetched
         i_epoch = 0

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from ..structures.boxes import box_iou
 
 
-def nms_keep_mask(boxes, scores, valid, iou_threshold: float):
+def nms_keep_mask(boxes, scores, valid, iou_threshold: float,
+                  dense_limit: int = 8192, block: int = 2048):
     """Greedy NMS keep mask over up to K boxes.
 
     Args:
@@ -26,6 +27,11 @@ def nms_keep_mask(boxes, scores, valid, iou_threshold: float):
       valid: [K] bool; invalid boxes are never kept and never suppress.
       iou_threshold: suppress j if IoU(i, j) > threshold for a kept i with
         higher score (strict >, as torchvision).
+      dense_limit: above this K the [K, K] suppression relation is no longer
+        materialized; each fixpoint sweep recomputes IoU in [K, block] tiles
+        instead (identical greedy semantics, O(K*block) peak memory). The
+        dense form OOMs at exact-parity full scale — K = all 39580 pyramid
+        anchors made the batched [G, K, K] relation a >100 GB allocation.
 
     Returns:
       keep [K] bool in the ORIGINAL box order.
@@ -38,19 +44,46 @@ def nms_keep_mask(boxes, scores, valid, iou_threshold: float):
     sboxes = boxes[order]
     svalid = valid[order]
 
-    iou = box_iou(sboxes, sboxes)
-    higher = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # [i, j]: i < j
-    suppress = (iou > iou_threshold) & higher & svalid[:, None] & svalid[None, :]
-
     def cond(state):
         keep, prev, it = state
         return jnp.logical_and(jnp.any(keep != prev), it < k)
 
-    def body(state):
-        keep, _, it = state
-        suppressed = jnp.any(suppress & keep[:, None], axis=0)
-        new_keep = svalid & ~suppressed
-        return new_keep, keep, it + 1
+    if k <= dense_limit:
+        iou = box_iou(sboxes, sboxes)
+        higher = jnp.tril(jnp.ones((k, k), dtype=bool), k=-1).T  # [i, j]: i < j
+        suppress = (iou > iou_threshold) & higher & svalid[:, None] & svalid[None, :]
+
+        def body(state):
+            keep, _, it = state
+            suppressed = jnp.any(suppress & keep[:, None], axis=0)
+            new_keep = svalid & ~suppressed
+            return new_keep, keep, it + 1
+
+    else:
+        n_blocks = (k + block - 1) // block
+        k_pad = n_blocks * block
+        pad = k_pad - k
+        sboxes_p = jnp.pad(sboxes, ((0, pad), (0, 0)))
+        svalid_p = jnp.pad(svalid, (0, pad))
+        iota_k = jnp.arange(k)
+
+        def body(state):
+            keep, _, it = state
+            kept_i = keep & svalid  # suppressors this sweep
+
+            def j_block(carry, b):
+                jb = jax.lax.dynamic_slice(sboxes_p, (b * block, 0), (block, 4))
+                jv = jax.lax.dynamic_slice(svalid_p, (b * block,), (block,))
+                jidx = b * block + jnp.arange(block)
+                iou_b = box_iou(sboxes, jb)  # [K, block], recomputed per sweep
+                sup_b = (iou_b > iou_threshold) & (iota_k[:, None] < jidx[None, :])
+                sup_b = sup_b & kept_i[:, None] & jv[None, :]
+                return carry, jnp.any(sup_b, axis=0)
+
+            _, sup_blocks = jax.lax.scan(j_block, None, jnp.arange(n_blocks))
+            suppressed = sup_blocks.reshape(k_pad)[:k]
+            new_keep = svalid & ~suppressed
+            return new_keep, keep, it + 1
 
     keep0 = svalid
     keep, _, _ = jax.lax.while_loop(

@@ -108,7 +108,7 @@ def grid_sample_bilinear(img, grid, padding_mode: str = "border"):
 
 
 def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
-                             t_chunk=8):
+                             t_chunk=None):
     """Gather-free resample + masked pool of the correlation tensor (the
     model's hot op) as dense MXU contractions.
 
@@ -133,6 +133,14 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
     assert th * tw == t, (th, tw, t)
     a = h * w
+    if t_chunk is None:
+        # MEASURED r3 (BENCH_NOTES): at class chunks > ~32 XLA lowers each
+        # chunk's hat einsum pair as one VPU loop fusion (materializing the
+        # [B,C,t,A,H] hat operand for real MXU dots OOMs / runs 3x slower —
+        # the OS2D_HAT_BARRIER experiment), and the fusion runs fastest with
+        # the smallest t granularity: C=1024 t_chunk 8 -> 1 is 4.0 -> 3.4
+        # s/image. Small chunks keep the r2-tuned value.
+        t_chunk = 8 if c <= 32 else 1
     t_chunk = int(_os.environ.get("OS2D_T_CHUNK", t_chunk))
 
     grids = grids_unit.reshape(b, c, a, th, tw, 2)
@@ -192,6 +200,13 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     # the fp32->bf16 convert pass the einsum would otherwise insert.
     hat_bf16 = (_os.environ.get("OS2D_HAT_BF16", "0") == "1"
                 and not int8_tier and precision == "default")
+    # bf16 intermediate experiment (OS2D_R_BF16=1): emit the first einsum's
+    # [B,C,t,A,W] result directly in bf16. Under the 'default' tier the
+    # second einsum rounds r to bf16 anyway before its multiply-reduce, so
+    # this only moves the rounding from read-time to write-time — but halves
+    # the HBM write+read of the largest intermediate in the op.
+    r_bf16 = (_os.environ.get("OS2D_R_BF16", "0") == "1"
+              and not int8_tier and precision == "default")
 
     def _hat(p_i, iota):
         if hat_bf16:
@@ -211,6 +226,15 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
         mask_i = mask_t[:, ts]
         wy = _hat(py_i, iota_h)
         wx = _hat(px_i, iota_w)
+        if _os.environ.get("OS2D_HAT_BARRIER", "0") == "1":
+            # NEGATIVE RESULT (r3, kept for re-testing on new toolchains):
+            # the barrier forces XLA to materialize the hat rows and run
+            # real MXU dots instead of the VPU loop fusion it otherwise
+            # demotes this chain to at large class chunks. Measured C=1024:
+            # OOM at t_chunk=8 (2.25G hats + 6G intermediate), 9.75 vs 3.40
+            # s/image at t_chunk=1 — the hat/intermediate HBM traffic loses
+            # to the VPU fusion by ~3x; XLA's demotion is the right call.
+            wy, wx = jax.lax.optimization_barrier((wy, wx))
         if int8_tier:
             wy_q = jnp.round(wy * 127.0).astype(jnp.int8)
             r = jnp.einsum("bctah,bchwt->bctaw", wy_q, corr_i,
@@ -229,14 +253,16 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
                              wx, preferred_element_type=jnp.float32)
         elif w_first:
             r = jnp.einsum("bctaw,bchwt->bctah", wx, corr_i,
-                           preferred_element_type=jnp.float32,
+                           preferred_element_type=(
+                               jnp.bfloat16 if r_bf16 else jnp.float32),
                            precision=precision)
             out = jnp.einsum("bctah,bctah->bcta", r, wy,
                              preferred_element_type=jnp.float32,
                              precision=precision)
         else:
             r = jnp.einsum("bctah,bchwt->bctaw", wy, corr_i,
-                           preferred_element_type=jnp.float32,
+                           preferred_element_type=(
+                               jnp.bfloat16 if r_bf16 else jnp.float32),
                            precision=precision)
             out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
                              preferred_element_type=jnp.float32,

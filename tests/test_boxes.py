@@ -167,6 +167,26 @@ def test_nms_matches_greedy(n):
     np.testing.assert_array_equal(np.sort(got_keep), np.sort(want_keep))
 
 
+@pytest.mark.parametrize("n", [100, 3000])
+def test_nms_blocked_matches_dense(n):
+    """The tiled (memory-bounded) fixpoint must equal the dense relation and
+    the host greedy reference — it replaces the [K, K] suppress matrix that
+    OOMed at exact-parity full scale (K = 39580 anchors)."""
+    rng = np.random.RandomState(n + 1)
+    boxes = random_boxes(n, rng=rng)
+    scores = rng.uniform(-1, 1, n).astype(np.float32)
+    valid = rng.rand(n) > 0.1
+    dense = np.asarray(nms_keep_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.3))
+    blocked = np.asarray(nms_keep_mask(
+        jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(valid), 0.3,
+        dense_limit=64, block=96))
+    np.testing.assert_array_equal(blocked, dense)
+    want = greedy_nms_reference(boxes[valid], scores[valid], 0.3)
+    got = np.nonzero(blocked[valid])[0]
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
 def test_nms_topk_sorted_and_padded():
     boxes = np.array(
         [[0, 0, 10, 10], [100, 100, 110, 110], [1, 1, 11, 11]], np.float32

@@ -386,3 +386,41 @@ def test_trainval_loop_multi_step_dispatch_matches_single(train_setup,
     traj_multi = run(2, "out_k2")
     assert traj_single.size >= 2
     np.testing.assert_allclose(traj_multi, traj_single, rtol=1e-3, atol=1e-5)
+
+
+def test_batch_prefetcher_pool_ordering_and_errors():
+    """Multi-worker BatchPrefetcher: in-order delivery, error surfacing, and
+    backpressure (no deadlock when results are consumed slowly)."""
+    import time as _time
+
+    from os2d_tpu.engine.train import BatchPrefetcher
+
+    class SlowLoader:
+        def get_batch(self, index):
+            # invert completion order: later indices finish FIRST
+            _time.sleep(0.05 * (3 - (index % 4)))
+            if index == 11:
+                raise ValueError("boom-11")
+            return {"index": index}
+
+    pf = BatchPrefetcher(SlowLoader(), depth=4,
+                         prepare_fn=lambda b: ("prep", b["index"]),
+                         workers=3)
+    for i in range(8):
+        pf.schedule(i)
+    got = [pf.get() for _ in range(8)]
+    assert [g[0] for g in got] == list(range(8))  # scheduled order
+    assert [g[2] for g in got] == [("prep", i) for i in range(8)]
+
+    pf.schedule(10)
+    pf.schedule(11)
+    pf.schedule(12)
+    assert pf.get()[0] == 10
+    try:
+        pf.get()
+        raised = False
+    except ValueError as e:
+        raised = "boom-11" in str(e)
+    assert raised
+    assert pf.get()[0] == 12  # the pool survives a worker exception
+    pf.close()

@@ -43,6 +43,8 @@ def main():
 
     cfg = get_default_cfg()
     cfg.tpu.eval_class_chunk = chunk
+    if os.environ.get("OS2D_PRE_TOPK"):
+        cfg.tpu.eval_pre_top_k = int(os.environ["OS2D_PRE_TOPK"])
     model_cfg = Os2dConfig()
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)

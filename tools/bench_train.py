@@ -110,7 +110,9 @@ def main():
 
     from os2d_tpu.engine.train import prepare_batch_arrays
 
-    prefetcher = BatchPrefetcher(loader, prepare_fn=prepare_batch_arrays)
+    loader_workers = int(os.environ.get("OS2D_LOADER_WORKERS", "1"))
+    prefetcher = BatchPrefetcher(loader, prepare_fn=prepare_batch_arrays,
+                                 workers=loader_workers)
     prefetcher.schedule(0)
     t0 = time.time()
     _, batch, prepared = prefetcher.get()
@@ -151,7 +153,8 @@ def main():
     from os2d_tpu.engine.train import train_k_batches
 
     prefetcher = BatchPrefetcher(loader, depth=k + 1,
-                                 prepare_fn=prepare_batch_arrays)
+                                 prepare_fn=prepare_batch_arrays,
+                                 workers=loader_workers)
 
     def get_group(g):
         for j in range(k):

@@ -191,12 +191,12 @@ def main():
                                   resample_precision="default", fold_bn=True),
         "fp32_high_int8bank": dict(compute_dtype="float32",
                                    resample_precision="high", quantize=True),
-        # interior-first template channel order (models/head.py
-        # _interior_permutation): same computation up to channel summation
-        # order in the TN conv / resample einsums, so gate it on mAP here
-        "fp32_default_perm": dict(compute_dtype="float32",
-                                  resample_precision="default",
-                                  env={"OS2D_CORR_PERM": "1"}),
+        # NATURAL template channel order (corr_interior_first=True is the
+        # default since r3, gated by this harness at dmAP +0.0000): keep the
+        # no-perm A/B runnable so future numeric changes can re-gate it
+        "fp32_default_noperm": dict(compute_dtype="float32",
+                                    resample_precision="default",
+                                    env={"OS2D_CORR_PERM": "0"}),
     }
 
     detections = {}
