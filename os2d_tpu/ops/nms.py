@@ -28,10 +28,14 @@ def nms_keep_mask(boxes, scores, valid, iou_threshold: float,
       iou_threshold: suppress j if IoU(i, j) > threshold for a kept i with
         higher score (strict >, as torchvision).
       dense_limit: above this K the [K, K] suppression relation is no longer
-        materialized; each fixpoint sweep recomputes IoU in [K, block] tiles
-        instead (identical greedy semantics, O(K*block) peak memory). The
-        dense form OOMs at exact-parity full scale — K = all 39580 pyramid
-        anchors made the batched [G, K, K] relation a >100 GB allocation.
+        materialized; score-sorted blocks finalize sequentially (prior kept
+        boxes suppress forward in [K, block] IoU tiles, a dense fixpoint
+        resolves each block internally) — identical greedy semantics, one
+        O(K^2) IoU pass, O(K*block) peak memory. The dense form OOMs at
+        exact-parity full scale — K = all 39580 pyramid anchors made the
+        batched [G, K, K] relation a >100 GB allocation, and a global tiled
+        fixpoint was measured hours-slow there (sweep count grows with the
+        suppression-chain depth of dense anchor grids).
 
     Returns:
       keep [K] bool in the ORIGINAL box order.
@@ -59,36 +63,59 @@ def nms_keep_mask(boxes, scores, valid, iou_threshold: float,
             new_keep = svalid & ~suppressed
             return new_keep, keep, it + 1
 
+        keep0 = svalid
+        keep, _, _ = jax.lax.while_loop(
+            cond, body, (keep0, jnp.zeros_like(keep0), jnp.asarray(0))
+        )
     else:
+        # Score-ordered block-sequential greedy: blocks of the sorted
+        # candidates finalize in order — every prior-block KEPT box (all
+        # strictly-higher-ranked) suppresses forward into the current block
+        # in one [K, block] IoU pass, then a dense fixpoint resolves the
+        # within-block chains on [block, block]. Exactly sequential greedy,
+        # ONE O(K^2) IoU pass total — unlike a global fixpoint, whose sweep
+        # count grows with the suppression-chain depth (dense anchor grids
+        # at full scale produced chains deep enough for hours of CPU time).
         n_blocks = (k + block - 1) // block
         k_pad = n_blocks * block
         pad = k_pad - k
         sboxes_p = jnp.pad(sboxes, ((0, pad), (0, 0)))
         svalid_p = jnp.pad(svalid, (0, pad))
-        iota_k = jnp.arange(k)
+        higher_local = jnp.tril(jnp.ones((block, block), dtype=bool), k=-1).T
 
-        def body(state):
-            keep, _, it = state
-            kept_i = keep & svalid  # suppressors this sweep
+        def process_block(keep_p, b):
+            jb = jax.lax.dynamic_slice(sboxes_p, (b * block, 0), (block, 4))
+            jv = jax.lax.dynamic_slice(svalid_p, (b * block,), (block,))
+            # suppression from already-finalized higher-score blocks (keep_p
+            # is False at this block and beyond, so no i<j test is needed)
+            iou_prior = box_iou(sboxes_p, jb)  # [k_pad, block]
+            sup_prior = jnp.any(
+                (iou_prior > iou_threshold) & keep_p[:, None], axis=0)
+            lvalid = jv & ~sup_prior
+            # within-block greedy via the dense fixpoint
+            iou_l = box_iou(jb, jb)
+            suppress_l = ((iou_l > iou_threshold) & higher_local
+                          & lvalid[:, None] & lvalid[None, :])
 
-            def j_block(carry, b):
-                jb = jax.lax.dynamic_slice(sboxes_p, (b * block, 0), (block, 4))
-                jv = jax.lax.dynamic_slice(svalid_p, (b * block,), (block,))
-                jidx = b * block + jnp.arange(block)
-                iou_b = box_iou(sboxes, jb)  # [K, block], recomputed per sweep
-                sup_b = (iou_b > iou_threshold) & (iota_k[:, None] < jidx[None, :])
-                sup_b = sup_b & kept_i[:, None] & jv[None, :]
-                return carry, jnp.any(sup_b, axis=0)
+            def lcond(state):
+                lkeep, lprev, it = state
+                return jnp.logical_and(jnp.any(lkeep != lprev), it < block)
 
-            _, sup_blocks = jax.lax.scan(j_block, None, jnp.arange(n_blocks))
-            suppressed = sup_blocks.reshape(k_pad)[:k]
-            new_keep = svalid & ~suppressed
-            return new_keep, keep, it + 1
+            def lbody(state):
+                lkeep, _, it = state
+                sup = jnp.any(suppress_l & lkeep[:, None], axis=0)
+                return lvalid & ~sup, lkeep, it + 1
 
-    keep0 = svalid
-    keep, _, _ = jax.lax.while_loop(
-        cond, body, (keep0, jnp.zeros_like(keep0), jnp.asarray(0))
-    )
+            lkeep, _, _ = jax.lax.while_loop(
+                lcond, lbody,
+                (lvalid, jnp.zeros_like(lvalid), jnp.asarray(0)))
+            keep_p = jax.lax.dynamic_update_slice(keep_p, lkeep, (b * block,))
+            return keep_p, None
+
+        keep_p, _ = jax.lax.scan(
+            process_block, jnp.zeros(k_pad, bool), jnp.arange(n_blocks))
+        keep = keep_p[:k]
+
     # scatter back to original order
     out = jnp.zeros_like(keep).at[order].set(keep)
     return out
