@@ -297,6 +297,14 @@ def get_default_cfg() -> ConfigNode:
                                         # augmentation RNG draws across
                                         # threads (not bit-reproducible vs
                                         # the single-worker batch order)
+            device_class_cache=False,  # keep every (class, resample-method)
+                                        # palette resize resident in HBM and
+                                        # resolve train class images with an
+                                        # on-device gather+flip (zero per-step
+                                        # class upload; data/class_cache.py).
+                                        # Needs distortion/class-crop/extra-
+                                        # mining OFF (the grozi recipe).
+            device_class_cache_budget_mb=2048,  # refuse to build beyond this
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval
             quantize_class_feats=False,  # int8 class-feature bank (4x HBM saving)

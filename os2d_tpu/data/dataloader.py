@@ -147,6 +147,7 @@ class DataloaderOneShotDetection:
         self.hardnegdata_per_imageid = None
         self.mine_extra_class_images = mine_extra_class_images
         self.images_uint8 = images_uint8
+        self.device_class_cache = None  # attach_device_class_cache()
         self.pyramid_scales_eval = list(pyramid_scales_eval)
         self.num_pyramid_levels = len(self.pyramid_scales_eval)
 
@@ -178,6 +179,16 @@ class DataloaderOneShotDetection:
             self._create_buckets(merge_one_bucket=not self.use_buckets)
             if self.mine_extra_class_images:
                 self._mine_extra_class_images()
+
+    def attach_device_class_cache(self, cache):
+        """Serve class images from a device-resident (class, method) stack
+        (data/class_cache.py) instead of per-batch host PIL work + upload.
+        The per-class resample-method draw still comes from the same global
+        RNG call T.resize would make, so batch composition and the method
+        stream are identical to the host path."""
+        if cache is not None:
+            cache.validate_loader(self)
+        self.device_class_cache = cache
 
     def get_name(self):
         return self.dataset.get_name()
@@ -256,7 +267,7 @@ class DataloaderOneShotDetection:
         return class_images, sizes
 
     def _transform_image_gt(self, img, do_augmentation=True, hflip=False,
-                            vflip=False, do_resize=True):
+                            vflip=False, do_resize=True, as_uint8=False):
         do_augmentation = do_augmentation and self.data_augmentation is not None
         img, _ = T.transpose(img, hflip=hflip, vflip=vflip)
         if do_augmentation:
@@ -276,6 +287,10 @@ class DataloaderOneShotDetection:
                 )
             img, _ = T.resize(img, target_size=size_new,
                               random_interpolation=random_interp)
+        if as_uint8:
+            # uint8 ships straight to the device, which normalizes there
+            # (bit-equal to the host fp32 path, minus a rint round trip)
+            return np.asarray(img, np.uint8)
         return image_to_normalized_array(img, self.img_normalization)
 
     def get_all_class_images(self, do_resize=True):
@@ -292,7 +307,8 @@ class DataloaderOneShotDetection:
     # ---- data images ----
     def _transform_image_to_pyramid(self, image_id, boxes=None,
                                     do_augmentation=True, hflip=False, vflip=False,
-                                    pyramid_scales=(1,), mined_data=None):
+                                    pyramid_scales=(1,), mined_data=None,
+                                    as_uint8=False):
         img = self.dataset._get_dataset_image_by_id(image_id)
         img_size = FeatureMapSize.from_image(img)
         do_augmentation = do_augmentation and self.data_augmentation is not None
@@ -356,15 +372,19 @@ class DataloaderOneShotDetection:
                 boxes=boxes, transform_list=t_this,
             )
             transform_pyramid.append(t_this)
-            img_pyramid.append(image_to_normalized_array(p_img, self.img_normalization))
+            img_pyramid.append(
+                np.asarray(p_img, np.uint8) if as_uint8
+                else image_to_normalized_array(p_img, self.img_normalization))
             boxes_pyramid.append(p_boxes)
         return img_pyramid, boxes_pyramid, mask_cutoff, mask_difficult, transform_pyramid
 
     def _transform_image(self, image_id, boxes=None, do_augmentation=True,
-                         hflip=False, vflip=False, mined_data=None):
+                         hflip=False, vflip=False, mined_data=None,
+                         as_uint8=False):
         p_img, p_boxes, mc, md, p_t = self._transform_image_to_pyramid(
             image_id, boxes=boxes, do_augmentation=do_augmentation,
             hflip=hflip, vflip=vflip, pyramid_scales=(1,), mined_data=mined_data,
+            as_uint8=as_uint8,
         )
         return p_img[0], p_boxes[0], mc, md, p_t[0]
 
@@ -446,27 +466,47 @@ class DataloaderOneShotDetection:
         else:
             batch_vflip = batch_hflip = False
 
-        class_images_pil, _ = self.get_class_images_and_sizes(
-            class_ids, do_augmentation=True
-        )
-        class_images = [
-            self._transform_image_gt(img, hflip=batch_hflip, vflip=batch_vflip)
-            for img in class_images_pil
-        ]
-        if self.images_uint8:
-            # class images ship uint8 too (they dominate the per-step
-            # host->device payload at fp32: 15 x 240^2 x 3 x 4B ~= 10 MB);
-            # the jitted step normalizes on device, bit-equal to host
-            mean = np.asarray(self.img_normalization["mean"], np.float32)
-            std = np.asarray(self.img_normalization["std"], np.float32)
-            class_images = [
-                np.clip(np.rint((im * std + mean) * 255.0), 0, 255).astype(
-                    np.uint8)
-                for im in class_images
+        if self.device_class_cache is not None:
+            # device-resident class stack: the only per-class randomness left
+            # is the resample-method draw T.resize would make — make the SAME
+            # global-RNG call so the stream (and thus every later batch-image
+            # draw) stays aligned with the host path; pixels resolve on
+            # device via class_cache.gather (see prepare_batch_arrays)
+            method_idx = [
+                T._RESAMPLE_CHOICES.index(random.choice(T._RESAMPLE_CHOICES))
+                for _ in class_ids
             ]
-        class_image_sizes = [
-            FeatureMapSize(w=arr.shape[1], h=arr.shape[0]) for arr in class_images
-        ]
+            class_images = None
+            class_image_sizes = [
+                self.device_class_cache.sizes[cid] for cid in class_ids
+            ]
+            class_gather = {
+                "cache": self.device_class_cache,
+                "class_ids": class_ids,
+                "method_idx": method_idx,
+                "hflip": batch_hflip,
+                "vflip": batch_vflip,
+            }
+        else:
+            # class images ship uint8 (they dominate the per-step host->device
+            # payload at fp32: 15 x 240^2 x 3 x 4B ~= 10 MB); the jitted step
+            # normalizes on device. Emitting uint8 directly skips the host
+            # normalize->denormalize fp32 round trip entirely (measured ~55% of
+            # the per-batch host cost together with the image path below).
+            class_gather = None
+            class_images_pil, _ = self.get_class_images_and_sizes(
+                class_ids, do_augmentation=True
+            )
+            class_images = [
+                self._transform_image_gt(
+                    img, hflip=batch_hflip, vflip=batch_vflip,
+                    as_uint8=self.images_uint8)
+                for img in class_images_pil
+            ]
+            class_image_sizes = [
+                FeatureMapSize(w=arr.shape[1], h=arr.shape[0])
+                for arr in class_images
+            ]
 
         batch_images = []
         batch_inverse_transform = []
@@ -481,6 +521,7 @@ class DataloaderOneShotDetection:
             img, boxes, mask_cutoff, mask_difficult, inv_t = self._transform_image(
                 image_id, boxes, hflip=batch_hflip, vflip=batch_vflip,
                 mined_data=mined_data.get(image_id),
+                as_uint8=self.images_uint8,
             )
             difficult = boxes.get_field("difficult") | mask_difficult
             boxes.add_field("difficult", difficult)
@@ -488,14 +529,6 @@ class DataloaderOneShotDetection:
             labels[mask_cutoff] = -2
             boxes.add_field("labels", labels)
 
-            if self.images_uint8:
-                # de-normalize back to uint8? no - recompute from the pipeline:
-                # _transform_image returned a normalized float; invert exactly
-                mean = np.asarray(self.img_normalization["mean"], np.float32)
-                std = np.asarray(self.img_normalization["std"], np.float32)
-                img = np.clip(
-                    np.rint((img * std + mean) * 255.0), 0, 255
-                ).astype(np.uint8)
             cur_size = FeatureMapSize(w=img.shape[1], h=img.shape[0])
             if img_size is None:
                 img_size = cur_size
@@ -524,6 +557,7 @@ class DataloaderOneShotDetection:
         return {
             "images": np.stack(batch_images, 0),
             "class_images": class_images,
+            "class_gather": class_gather,
             "class_ids": class_ids,
             "class_image_sizes": class_image_sizes,
             "gt_boxes": gt_boxes,

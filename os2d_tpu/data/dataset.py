@@ -508,9 +508,17 @@ class DatasetOneShotDetection:
         return out
 
     def get_image_annotation_for_imageid(self, image_id):
-        image_data = self.gtboxframe[self.gtboxframe["imageid"] == image_id]
-        img_size = self.image_size_per_image_id[image_id]
-        return self.get_boxes_from_image_dataframe(image_data, img_size)
+        # The pandas row filter + to_numpy costs ~5 ms per call and the GT is
+        # static, so cache the parsed arrays; callers mutate the returned
+        # HostBoxes fields in place, so hand out a fresh copy each time.
+        cache = self.__dict__.setdefault("_annotation_cache", {})
+        cached = cache.get(image_id)
+        if cached is None:
+            image_data = self.gtboxframe[self.gtboxframe["imageid"] == image_id]
+            img_size = self.image_size_per_image_id[image_id]
+            cached = self.get_boxes_from_image_dataframe(image_data, img_size)
+            cache[image_id] = cached
+        return cached.copy()
 
     def copy_subset(self, subset_size=None, set_eval_mode=True):
         subset = copy.copy(self)

@@ -514,15 +514,29 @@ def pad_class_batch(class_images, num_real, pad_to):
 def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
     """Host batch dict (from the dataloader) -> static-shape device arrays."""
     class_images = batch["class_images"]
-    shapes = {im.shape for im in class_images}
-    assert len(shapes) == 1, (
-        "train batches need a single class-image shape; configure the train "
-        f"dataloader with a one-entry class shape palette (got {shapes})"
-    )
-    c_real = len(class_images)
-    c_pad = max(class_pad_multiple,
-                math.ceil(c_real / class_pad_multiple) * class_pad_multiple)
-    class_arr, class_valid = pad_class_batch(class_images, c_real, c_pad)
+    if class_images is None:
+        # device-resident class cache (data/class_cache.py): resolve the
+        # class tensor with an on-device gather+flip — nothing crosses the
+        # wire but two small index vectors
+        g = batch["class_gather"]
+        c_real = len(g["class_ids"])
+        c_pad = max(class_pad_multiple,
+                    math.ceil(c_real / class_pad_multiple) * class_pad_multiple)
+        class_arr = g["cache"].gather(
+            g["class_ids"], g["method_idx"], g["hflip"], g["vflip"], c_pad)
+        class_valid = np.zeros((c_pad,), bool)
+        class_valid[:c_real] = True
+    else:
+        shapes = {im.shape for im in class_images}
+        assert len(shapes) == 1, (
+            "train batches need a single class-image shape; configure the "
+            f"train dataloader with a one-entry class shape palette "
+            f"(got {shapes})"
+        )
+        c_real = len(class_images)
+        c_pad = max(class_pad_multiple,
+                    math.ceil(c_real / class_pad_multiple) * class_pad_multiple)
+        class_arr, class_valid = pad_class_batch(class_images, c_real, c_pad)
 
     img_size = batch["img_size"]
     arrays = {
@@ -849,6 +863,14 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 f"Data-parallel training over {n_dev} devices "
                 f"({cfg.train.batch_size // n_dev} images/chip)"
             )
+
+    if cfg.train.do_training and bool(cfg.tpu.get("device_class_cache", False)):
+        from ..data.class_cache import DeviceClassCache
+
+        dataloader_train.attach_device_class_cache(DeviceClassCache.build(
+            dataloader_train,
+            budget_mb=int(cfg.tpu.get("device_class_cache_budget_mb", 2048)),
+        ))
 
     if (cfg.visualization.train.show_gt_boxes_dataloader and cfg.output.path
             and len(dataloader_train) > 0):

@@ -92,6 +92,11 @@ def main():
     cfg.train.batch_size = 4
     cfg.train.class_batch_size = NUM_CLASSES
     loader, _ = build_train_dataloader_from_config(cfg, dataset_train=dataset)
+    if os.environ.get("OS2D_DEVICE_CLASS_CACHE", "") == "1":
+        from os2d_tpu.data.class_cache import DeviceClassCache
+
+        loader.attach_device_class_cache(DeviceClassCache.build(loader))
+        print("device class cache attached", flush=True)
 
     model_cfg = Os2dConfig()
     params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
