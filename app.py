@@ -35,27 +35,15 @@ except ImportError as e:  # pragma: no cover
 
 
 def _decode_payload_images(payload: dict, image_key: str):
-    """Validate + decode a request payload; malformed requests become 400s
-    instead of unhandled 500s. Returns (images, queries) where images is a
-    list even for the single-image schema."""
-    from os2d_tpu.api.service import decode_base64_to_image
+    """Validate + decode a request payload (the schema parser lives in
+    api/service.py — ONE source of truth); malformed requests become 400s
+    instead of unhandled 500s."""
+    from os2d_tpu.api.service import parse_request_payload
 
     try:
-        entries = payload[image_key]
-        if image_key == "image":
-            entries = [entries]
-        images = [decode_base64_to_image(e["content"]) for e in entries]
-        queries = [decode_base64_to_image(q["content"])
-                   for q in payload["query"]]
-    except (KeyError, TypeError, ValueError, OSError) as e:
-        raise HTTPException(
-            status_code=400,
-            detail=f"malformed payload ({type(e).__name__}: {e}); expected "
-                   f'{{"{image_key}": ..., "query": [{{"content": b64}}]}}',
-        ) from e
-    if not queries:
-        raise HTTPException(status_code=400, detail="empty query list")
-    return images, queries
+        return parse_request_payload(payload, image_key)
+    except ValueError as e:
+        raise HTTPException(status_code=400, detail=str(e)) from e
 
 
 def build_service() -> DetectionService:

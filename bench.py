@@ -137,7 +137,8 @@ def main():
             # held one step before blocking, hiding its ~18 ms download
             # latency behind the next compute.
             depth = int(os.environ.get("OS2D_BENCH_PREFETCH", "2"))
-            devs = {i: jax.device_put(batches[i])
+            from os2d_tpu.utils.upload import parallel_device_put
+            devs = {i: parallel_device_put(batches[i])
                     for i in range(min(depth, n_batches))}
             pending = None
             for i in range(n_batches):
@@ -146,7 +147,7 @@ def main():
                     inverse_scales, img_norm,
                 )
                 if i + depth < n_batches:
-                    devs[i + depth] = jax.device_put(batches[i + depth])
+                    devs[i + depth] = parallel_device_put(batches[i + depth])
                 if pending is not None:
                     np.asarray(pending)
                 pending = det

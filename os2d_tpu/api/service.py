@@ -35,6 +35,30 @@ def decode_base64_to_image(b64: str) -> Image.Image:
     return img
 
 
+def parse_request_payload(payload: dict, image_key: str = "image"):
+    """THE request-schema parser (single source of truth; app.py wraps it
+    into a 400). Schemas (reference app.py:48):
+      image_key="image":  {"image": {"content": b64}, "query": [...]}
+      image_key="images": {"images": [{"content": b64}, ...], "query": [...]}
+    Returns (images, queries) as lists of PIL images; raises ValueError on a
+    malformed payload or an empty query list."""
+    try:
+        entries = payload[image_key]
+        if image_key == "image":
+            entries = [entries]
+        images = [decode_base64_to_image(e["content"]) for e in entries]
+        queries = [decode_base64_to_image(q["content"])
+                   for q in payload["query"]]
+    except (KeyError, TypeError, ValueError, OSError) as e:
+        raise ValueError(
+            f"malformed payload ({type(e).__name__}: {e}); expected "
+            f'{{"{image_key}": ..., "query": [{{"content": b64}}]}}'
+        ) from e
+    if not queries:
+        raise ValueError("empty query list")
+    return images, queries
+
+
 class DetectionService:
     """Holds the model + params; thread-safe for read-only inference.
 
@@ -201,7 +225,14 @@ class DetectionService:
         class_head, num_views = self._build_class_head(queries)
 
         base_side = int(round(TARGET_IMAGE_SIZE * max(self.pyramid_scales)))
-        batch = np.zeros((len(images), base_side, base_side, 3), np.uint8)
+        # pad with the dataset-mean color so the padding normalizes to ~0
+        # (neutral), not to a hard black edge (-mean/std) that shifts
+        # detections near image borders
+        mean_u8 = np.clip(
+            np.round(np.asarray(self.img_normalization["mean"]) * 255.0),
+            0, 255).astype(np.uint8)
+        batch = np.broadcast_to(
+            mean_u8, (len(images), base_side, base_side, 3)).copy()
         resized_sizes = []
         for i, image in enumerate(images):
             w, h = image.size
@@ -240,15 +271,13 @@ class DetectionService:
     def detect_from_request(self, payload: dict):
         """Request schema of the reference (app.py:48):
         {"image": {"content": b64}, "query": [{"content": b64}, ...]}"""
-        image = decode_base64_to_image(payload["image"]["content"])
-        queries = [decode_base64_to_image(q["content"]) for q in payload["query"]]
-        return self.detect(image, queries)
+        images, queries = parse_request_payload(payload, "image")
+        return self.detect(images[0], queries)
 
     def detect_batch_from_request(self, payload: dict):
         """Batched schema: {"images": [{"content": b64}, ...],
         "query": [{"content": b64}, ...]} -> {"results": [per-image dicts]}."""
-        images = [decode_base64_to_image(im["content"]) for im in payload["images"]]
-        queries = [decode_base64_to_image(q["content"]) for q in payload["query"]]
+        images, queries = parse_request_payload(payload, "images")
         return {"results": self.detect_batch(images, queries)}
 
 

@@ -284,6 +284,11 @@ def get_default_cfg() -> ConfigNode:
                                         # finite; -inf (the default) keeps
                                         # every class.
             eval_prefetch_depth=2,    # fused-eval upload lookahead (batches)
+            upload_streams=1,         # >1: split each image-batch upload into
+                                        # k parallel chunked device_puts
+                                        # (thin-tunnel hosts where the link is
+                                        # per-stream limited; measure first
+                                        # with tools/bench_upload.py)
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices

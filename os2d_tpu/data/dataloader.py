@@ -21,6 +21,7 @@ import random
 from typing import List, Optional
 
 import numpy as np
+from PIL import Image
 
 from ..structures.feature_map import FeatureMapSize, exact_resize_area
 from ..structures.host_boxes import HostBoxes, TransformList
@@ -469,11 +470,18 @@ class DataloaderOneShotDetection:
         if self.device_class_cache is not None:
             # device-resident class stack: the only per-class randomness left
             # is the resample-method draw T.resize would make — make the SAME
-            # global-RNG call so the stream (and thus every later batch-image
-            # draw) stays aligned with the host path; pixels resolve on
-            # device via class_cache.gather (see prepare_batch_arrays)
+            # global-RNG call (and ONLY under the same condition: T.resize
+            # draws only when augmentation requests random interpolation,
+            # else it deterministically uses BILINEAR) so the stream (and
+            # thus every later batch-image draw) stays aligned with the host
+            # path; pixels resolve on device via class_cache.gather (see
+            # prepare_batch_arrays)
+            random_interp = (self.data_augmentation is not None
+                             and self.data_augmentation.random_interpolation)
             method_idx = [
-                T._RESAMPLE_CHOICES.index(random.choice(T._RESAMPLE_CHOICES))
+                T._RESAMPLE_CHOICES.index(
+                    random.choice(T._RESAMPLE_CHOICES) if random_interp
+                    else Image.BILINEAR)
                 for _ in class_ids
             ]
             class_images = None

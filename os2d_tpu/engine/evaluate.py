@@ -29,6 +29,7 @@ import numpy as np
 from ..data.voc_eval import do_voc_evaluation
 from ..models.head import ClassHead
 from ..structures.feature_map import FeatureMapSize
+from ..utils.upload import parallel_device_put
 from .decode import decode_pyramid
 
 
@@ -1067,7 +1068,12 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                             base_images
                             + [base_images[-1]] * (batch_size - n_real)
                         )
-                        dev = jax.device_put(stacked)  # async transfer start
+                        # async transfer start; cfg.tpu.upload_streams > 1
+                        # splits the put into parallel chunked transfers
+                        # (per-stream-limited tunnels, utils/upload.py)
+                        dev = parallel_device_put(
+                            stacked,
+                            streams=int(cfg.tpu.get("upload_streams", 1)))
                         q.put((batch_ids, dev, level_sizes, inv_scales,
                                initial_sizes))
                 except BaseException as e:  # surface in the consumer

@@ -511,7 +511,8 @@ def pad_class_batch(class_images, num_real, pad_to):
     return arr, valid
 
 
-def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
+def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
+                         upload_streams=None):
     """Host batch dict (from the dataloader) -> static-shape device arrays."""
     class_images = batch["class_images"]
     if class_images is None:
@@ -539,8 +540,18 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None):
         class_arr, class_valid = pad_class_batch(class_images, c_real, c_pad)
 
     img_size = batch["img_size"]
+    from ..utils.upload import parallel_device_put
+
     arrays = {
-        "images": jnp.asarray(batch["images"]),
+        # the batch images are the step's dominant upload (~4.3 MB at the
+        # grozi recipe); upload_streams>1 (cfg.tpu.upload_streams, env
+        # OS2D_UPLOAD_STREAMS for the bench tools) splits the put into
+        # parallel chunked transfers (per-stream-limited tunnels,
+        # utils/upload.py)
+        "images": (parallel_device_put(batch["images"],
+                                       streams=upload_streams)
+                   if isinstance(batch["images"], np.ndarray)
+                   else jnp.asarray(batch["images"])),
         "class_images": jnp.asarray(class_arr),
         "class_valid": jnp.asarray(class_valid),
         "gt_boxes": jnp.asarray(batch["gt_boxes"]),
@@ -978,9 +989,12 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         mine_iter = int(cfg.train.mining.mine_hard_patches_iter)
         max_iter = int(cfg.train.optim.max_iter)
         loader_workers = max(1, int(cfg.tpu.get("train_loader_workers", 1)))
+        _prep = partial(
+            prepare_batch_arrays,
+            upload_streams=int(cfg.tpu.get("upload_streams", 1)))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,
-            prepare_fn=None if mesh is not None else prepare_batch_arrays,
+            prepare_fn=None if mesh is not None else _prep,
             workers=loader_workers,
         )
         pending = 0  # batches scheduled on the prefetcher, not yet fetched

@@ -139,7 +139,34 @@ def test_cache_matches_host_path(tmp_path, flips):
                 if g["vflip"]:
                     ref = ref[::-1]      # height axis
                 np.testing.assert_array_equal(arr[row], ref)
-    del saw_flipped_nonconv
+    if flips:
+        # the seeds above must actually exercise the one branch that is NOT
+        # bit-identical to the host path (BOX/NEAREST under a flip) — if a
+        # seeding/choices change stops hitting it, fail loudly rather than
+        # silently shrinking coverage (test_gather_flip_nonconv_explicit
+        # covers the branch deterministically as well)
+        assert saw_flipped_nonconv, (
+            "no flipped BOX/NEAREST draw in 6 seeded batches; adjust seeds")
+
+
+def test_gather_flip_nonconv_explicit(tmp_path):
+    """Deterministic pin of the flip/non-conv device-gather path: for every
+    method m and flip combination, gather(cid, m, hflip, vflip) must equal
+    resize-then-flip of the cached stack row (no RNG involvement)."""
+    _, cache_loader, _ = _loaders_with_identical_rng(tmp_path, flips=True)
+    cache = cache_loader.device_class_cache
+    cid = cache.class_ids[0]
+    row = cache.index_of[cid]
+    for m in range(len(_RESAMPLE_CHOICES)):
+        for hflip, vflip in ((True, False), (False, True), (True, True)):
+            out = np.asarray(
+                cache.gather([cid], [m], hflip, vflip, 1))[0]
+            ref = np.asarray(cache.stack[row, m])
+            if hflip:
+                ref = ref[:, ::-1]
+            if vflip:
+                ref = ref[::-1]
+            np.testing.assert_array_equal(out, ref)
 
 
 def test_cache_loss_equals_host_path(tmp_path):

@@ -1,0 +1,47 @@
+"""Chunked-parallel host->device upload (utils/upload.py).
+
+The helper must be a drop-in for jax.device_put at any stream count: same
+values, any shape, any dtype — the eval producer, the train prefetcher, and
+bench.py all route image batches through it (OS2D_UPLOAD_STREAMS /
+cfg.tpu.upload_streams gate the parallel form; default 1 keeps the plain
+device_put path).
+"""
+
+import numpy as np
+import pytest
+
+from os2d_tpu.utils.upload import parallel_device_put
+
+
+@pytest.mark.parametrize("streams", [1, 2, 4, 8])
+def test_roundtrip_image_batch(streams):
+    rng = np.random.RandomState(0)
+    a = rng.randint(0, 255, (2, 512, 384, 3), np.uint8)  # >1 MB: chunks
+    d = parallel_device_put(a, streams=streams)
+    assert np.array_equal(np.asarray(d), a)
+
+
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((7,), np.float32),          # too few elements to chunk -> fallback
+     ((3, 2), np.int32),          # tiny: under the 1 MB floor -> fallback
+     ((5, 3, 4), np.float64),     # canonicalizes (x64 off) like device_put
+     ((4, 1024, 512), np.float32)],  # big enough to genuinely chunk
+)
+def test_roundtrip_shapes(shape, dtype):
+    import jax
+
+    rng = np.random.RandomState(1)
+    a = (rng.rand(*shape) * 100).astype(dtype)
+    d = parallel_device_put(a, streams=8)
+    ref = jax.device_put(a)  # drop-in contract: same dtype canonicalization
+    assert np.asarray(d).dtype == np.asarray(ref).dtype
+    assert np.array_equal(np.asarray(d), np.asarray(ref))
+    assert np.allclose(np.asarray(d), a)
+
+
+def test_env_default(monkeypatch):
+    monkeypatch.setenv("OS2D_UPLOAD_STREAMS", "4")
+    rng = np.random.RandomState(2)
+    a = rng.randint(0, 255, (2, 64, 64, 3), np.uint8)
+    assert np.array_equal(np.asarray(parallel_device_put(a)), a)
