@@ -95,6 +95,23 @@ def build_model_from_config(cfg, logger):
 
 def main():
     cfg, config_file = parse_opts()
+
+    # multi-host (TPU pod) SPMD: every host runs this same CLI; initialize()
+    # wires the jax distributed runtime BEFORE any device query so
+    # jax.devices() is the GLOBAL device list. On TPU pods the coordinator/
+    # process count auto-detect from the TPU environment; elsewhere (e.g.
+    # the CPU multi-process test rig) they come from the standard env vars
+    # (JAX_COORDINATOR_ADDRESS, JAX_NUM_PROCESSES, JAX_PROCESS_ID).
+    if bool(cfg.tpu.get("distributed_init", False)):
+        kwargs = {}
+        if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            kwargs = dict(
+                coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+                num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+                process_id=int(os.environ["JAX_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kwargs)
+
     logger = setup_logger(
         "OS2D", cfg.output.path if cfg.output.save_log_to_file else None
     )

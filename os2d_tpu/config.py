@@ -292,6 +292,13 @@ def get_default_cfg() -> ConfigNode:
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices
+            distributed_init=False,   # multi-host (pod) runs: call
+                                        # jax.distributed.initialize() at CLI
+                                        # startup so the mesh spans all hosts
+                                        # (auto-detects on TPU pods; env
+                                        # JAX_COORDINATOR_ADDRESS/
+                                        # JAX_NUM_PROCESSES/JAX_PROCESS_ID
+                                        # for explicit clusters)
             train_steps_per_dispatch=1,  # K>1: scan K train steps in ONE
                                         # device program (hides per-step
                                         # dispatch+sync latency on remote/

@@ -314,6 +314,18 @@ class Evaluator:
 
         return shard_classes(self.mesh, feats, mask)
 
+    def _replicated(self, out):
+        """Multi-host mesh: XLA may leave a dispatch's output sharded across
+        hosts (not fully addressable -> np.asarray would fail); reshard to
+        replicated — a tiny allgather of the packed detections, async like
+        the dispatch itself. Single-host: identity."""
+        if self.mesh is None or jax.process_count() == 1:
+            return out
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), out)
+
     # ---- class features ----
     def build_class_heads(self, params, class_images: List[np.ndarray],
                           class_image_augmentation: str = ""):
@@ -585,7 +597,7 @@ class Evaluator:
                 class_head.pool_mask) + gt_args
         if self.mesh is not None:
             with self.mesh:
-                out = fn(*args)
+                out = self._replicated(fn(*args))
         else:
             out = fn(*args)
         if with_losses:
@@ -730,8 +742,8 @@ class Evaluator:
 
         if self.mesh is not None:
             with self.mesh:
-                fms, ceil = self._decode_cache[key1](
-                    params, jnp.asarray(images_u8), feats_bank)
+                fms, ceil = self._replicated(self._decode_cache[key1](
+                    params, jnp.asarray(images_u8), feats_bank))
         else:
             fms, ceil = self._decode_cache[key1](
                 params, jnp.asarray(images_u8), feats_bank)
@@ -802,8 +814,8 @@ class Evaluator:
         row_valid = jnp.asarray(np.arange(c_sel_pad) < n_sel_rows)
         if self.mesh is not None:
             with self.mesh:
-                packed = np.asarray(self._decode_cache[key2](
-                    params, fms, sub_feats, sub_mask, row_valid))
+                packed = np.asarray(self._replicated(self._decode_cache[key2](
+                    params, fms, sub_feats, sub_mask, row_valid)))
         else:
             packed = np.asarray(self._decode_cache[key2](
                 params, fms, sub_feats, sub_mask, row_valid))

@@ -424,9 +424,23 @@ def dump_nan_reproducer(dump_dir, batch_arrays, params, opt_state, num_classes,
     import datetime
     import pickle
 
-    to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)
+    def _np(x):
+        # multi-host: batch shards live on other hosts' devices; gather the
+        # global value so the reproducer is complete (single-host: no-op)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    to_np = lambda t: jax.tree_util.tree_map(_np, t)
     ts = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
-    path = os.path.join(dump_dir or ".", f"error_nan_appeared-{ts}.pkl")
+    # metrics are replicated, so in a multi-host run EVERY host reaches this
+    # dump (which also keeps the allgather above collective-safe); a
+    # per-process suffix keeps the (identical) dumps from clobbering
+    # mid-write on shared storage
+    proc = f"-p{jax.process_index()}" if jax.process_count() > 1 else ""
+    path = os.path.join(dump_dir or ".", f"error_nan_appeared-{ts}{proc}.pkl")
     payload = {
         "batch_arrays": to_np(batch_arrays),
         "net": to_np(params),
@@ -883,8 +897,10 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             budget_mb=int(cfg.tpu.get("device_class_cache_budget_mb", 2048)),
         ))
 
+    from ..parallel.mesh import primary_host
+
     if (cfg.visualization.train.show_gt_boxes_dataloader and cfg.output.path
-            and len(dataloader_train) > 0):
+            and primary_host() and len(dataloader_train) > 0):
         # debug figures of the first training batch's GT boxes
         # (reference dataloader.py:135; saved to files instead of shown)
         from ..utils.visualization import show_gt_boxes
@@ -903,7 +919,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             )
 
     if (cfg.visualization.train.show_target_remapping and cfg.output.path
-            and len(dataloader_train) > 0):
+            and primary_host() and len(dataloader_train) > 0):
         batch_arrays, n_cls = prepare_batch_arrays(dataloader_train.get_batch(0))
         visualize_target_remapping_for_batch(
             batch_arrays, n_cls, params, model.config, cfg.train,

@@ -1,5 +1,7 @@
 from .mesh import (
     make_mesh,
+    primary_host,
+    put_global,
     replicate,
     shard_batch,
     shard_classes,

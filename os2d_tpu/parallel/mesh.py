@@ -41,15 +41,37 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def primary_host() -> bool:
+    """True on the process that should own host-side writes (checkpoints,
+    logs, figures) in a multi-host run; always True single-process."""
+    return jax.process_index() == 0
+
+
+def put_global(x, sharding):
+    """device_put that also works on a multi-host (pod) mesh.
+
+    Single-process: plain jax.device_put. Multi-process SPMD: every process
+    holds the SAME full global value (the dataloaders are seeded identically
+    across hosts), and make_array_from_callback assembles the global array
+    by slicing each process's addressable shards out of its local copy —
+    the standard JAX pod input idiom (no cross-host transfer; each host
+    uploads only its own slice)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: x[idx])
+
+
 def replicate(mesh: Mesh, tree):
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(lambda x: put_global(x, sharding), tree)
 
 
 def shard_batch(mesh: Mesh, tree):
     """Shard axis 0 of every array leaf over the data axis."""
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS)))
+        return put_global(x, NamedSharding(mesh, P(DATA_AXIS)))
 
     return jax.tree_util.tree_map(put, tree)
 
@@ -57,7 +79,7 @@ def shard_batch(mesh: Mesh, tree):
 def shard_classes(mesh: Mesh, class_feats, pool_mask):
     """Shard the class axis of the precomputed class-feature bank."""
     s = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.device_put(class_feats, s), jax.device_put(pool_mask, s)
+    return put_global(class_feats, s), put_global(pool_mask, s)
 
 
 def make_sharded_train_inputs(mesh: Mesh, params, opt_state, batch_arrays,
@@ -76,7 +98,7 @@ def make_sharded_train_inputs(mesh: Mesh, params, opt_state, batch_arrays,
     spec = P(*([None] * batch_axis), DATA_AXIS)
     for k, v in batch_arrays.items():
         if k in batch_keys:
-            sharded[k] = jax.device_put(v, NamedSharding(mesh, spec))
+            sharded[k] = put_global(v, NamedSharding(mesh, spec))
         else:
-            sharded[k] = jax.device_put(v, NamedSharding(mesh, P()))
+            sharded[k] = put_global(v, NamedSharding(mesh, P()))
     return params, opt_state, sharded

@@ -108,7 +108,9 @@ def log_meters(full_log, t_start, i_iter, output_path,
         while len(series) < max_len:
             series.append(float("nan"))
 
-    if output_path:
+    from ..parallel.mesh import primary_host
+
+    if output_path and primary_host():  # one writer in multi-host runs
         os.makedirs(output_path, exist_ok=True)
         try:
             with open(os.path.join(output_path, "train_log.pkl"), "wb") as f:
@@ -133,13 +135,22 @@ def checkpoint_model(params, opt_state, output_path, i_iter=None, model_name=Non
     resumes exactly. backend="orbax" stores the pytrees via
     orbax.checkpoint.PyTreeCheckpointer in a sibling directory instead of
     inline pickle arrays.
+
+    Multi-host (pod) runs: only process 0 writes — every host computes the
+    same replicated params, so one copy suffices; non-primary hosts return
+    the path unwritten (reload-best-on-anneal therefore needs output_path
+    on storage shared across hosts, the standard pod setup).
     """
-    os.makedirs(output_path, exist_ok=True)
+    from ..parallel.mesh import primary_host
+
     if model_name is not None:
         fname = f"checkpoint_{model_name}.pkl"
     else:
         fname = f"checkpoint_iter_{i_iter}.pkl"
     path = os.path.join(output_path, fname)
+    if not primary_host():
+        return path
+    os.makedirs(output_path, exist_ok=True)
     payload = {
         "i_iter": i_iter,
         "full_log": full_log,
