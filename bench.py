@@ -33,7 +33,8 @@ IMG_W, IMG_H = 1280, 960
 PYRAMID = [0.5, 0.625, 0.8, 1, 1.2, 1.4, 1.6]
 NUM_CLASSES = 16
 NUM_IMAGES = 8   # images per timed pass
-N_PASSES = 5     # median over passes (tunnel variance)
+N_PASSES = 7     # median over passes (tunnel variance: whole passes can land
+                 # in a bandwidth dip; 7 passes keep the median robust to two)
 # images per fused dispatch: B=2 amortizes the per-dispatch fixed overhead
 # (measured compute-only 7.7 -> 8.5 img/s; B=4 regresses on memory pressure)
 BATCH = int(os.environ.get("OS2D_BENCH_BATCH", "2"))

@@ -99,6 +99,47 @@ def run_steps(mesh, n_steps=3):
     return losses, grad_norms
 
 
+def run_class_sharded_eval(mesh):
+    """The eval leg: a class-sharded fused detection dispatch over `mesh`
+    (exercises shard_classes/put_global on the cluster and the
+    Evaluator._replicated output readback, which only activates when
+    process_count > 1). Returns the packed detections as a numpy array."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.engine.evaluate import Evaluator
+    from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+    from os2d_tpu.models.head import ClassHead
+    from os2d_tpu.structures.feature_map import FeatureMapSize
+
+    cfg = get_default_cfg()
+    cfg.tpu.eval_class_chunk = 2
+    cfg.tpu.eval_pre_top_k = 128
+    cfg.tpu.eval_top_k = 16
+
+    model_cfg = Os2dConfig()
+    model = Os2dModel(model_cfg)
+    params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+
+    rng = np.random.RandomState(1)
+    h = w = 64
+    scenes = rng.randint(0, 255, (1, h, w, 3), np.uint8)
+    n_cls = 8
+    feats = np.zeros((n_cls, 15, 15, 1024), np.float32)
+    for k in range(n_cls):
+        feats[k, :, :, 200 + k] = 1.0
+    mask = np.ones((n_cls, 15, 15), np.float32)
+    mask /= mask.reshape(n_cls, -1).sum(1)[:, None, None]
+    head = ClassHead(jnp.asarray(feats), jnp.asarray(mask))
+    ev = Evaluator(model, cfg, mesh=mesh)
+    return np.asarray(ev.detect_images(
+        params, scenes, head, [FeatureMapSize(w=w, h=h)], [(1.0, 1.0)],
+        {"mean": model_cfg.normalization_mean,
+         "std": model_cfg.normalization_std}))
+
+
 def main():
     pid, n_proc, port, out_path = (int(sys.argv[1]), int(sys.argv[2]),
                                    int(sys.argv[3]), sys.argv[4])
@@ -115,10 +156,13 @@ def main():
 
     from os2d_tpu.parallel import make_mesh, primary_host
 
-    losses, grad_norms = run_steps(make_mesh(8))
+    mesh = make_mesh(8)
+    losses, grad_norms = run_steps(mesh)
+    packed = run_class_sharded_eval(mesh)
     if primary_host():
         with open(out_path, "w") as f:
-            json.dump({"losses": losses, "grad_norms": grad_norms}, f)
+            json.dump({"losses": losses, "grad_norms": grad_norms,
+                       "eval_packed": packed.tolist()}, f)
     print(f"proc {pid}: losses={losses}", flush=True)
 
 

@@ -33,12 +33,14 @@ def _free_port():
 
 @pytest.mark.slow
 def test_two_process_cluster_matches_single_process(tmp_path):
-    # reference: same steps on this process's own 8-device mesh
+    # reference: same steps + eval on this process's own 8-device mesh
     from os2d_tpu.parallel import make_mesh
-    from multihost_worker import run_steps
+    from multihost_worker import run_class_sharded_eval, run_steps
 
-    ref_losses, ref_gnorms = run_steps(make_mesh(8))
+    mesh = make_mesh(8)
+    ref_losses, ref_gnorms = run_steps(mesh)
     assert all(np.isfinite(ref_losses)), ref_losses
+    ref_packed = run_class_sharded_eval(mesh)
 
     port = _free_port()
     out = tmp_path / "proc0.json"
@@ -75,3 +77,9 @@ def test_two_process_cluster_matches_single_process(tmp_path):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(cluster["grad_norms"], ref_gnorms,
                                rtol=1e-4, atol=1e-6)
+
+    # class-sharded fused eval across the cluster (the _replicated readback
+    # path, active only when process_count > 1) matches single-process
+    np.testing.assert_allclose(
+        np.asarray(cluster["eval_packed"], np.float32), ref_packed,
+        rtol=1e-4, atol=1e-4)
