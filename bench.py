@@ -130,14 +130,16 @@ def main():
     with maybe_trace_from_env():
         for i_pass in range(N_PASSES):
             t0 = time.time()
-            # upload lookahead (depth OS2D_BENCH_PREFETCH, default 2): keep
-            # the next `depth` batch uploads in flight while batch i computes
-            # (the axon tunnel upload otherwise serializes with compute —
-            # measured compute-only 5.2 vs end-to-end 3.2; depth 2 rides out
-            # per-batch tunnel jitter). Each packed result is additionally
-            # held one step before blocking, hiding its ~18 ms download
-            # latency behind the next compute.
-            depth = int(os.environ.get("OS2D_BENCH_PREFETCH", "2"))
+            # upload lookahead (depth OS2D_BENCH_PREFETCH, default 1): keep
+            # exactly one batch upload in flight while batch i computes
+            # (upload otherwise serializes with compute — measured 5.2
+            # compute-only vs 3.2 end-to-end). Depth MUST stay 1 on this
+            # tunnel: concurrent uploads contend (two in flight = 12.8 MB/s
+            # aggregate vs 20.3 single), measured 4.9 vs 8.2 img/s end-to-end
+            # (BENCH_NOTES r3). Each packed result is additionally held one
+            # step before blocking, hiding its ~18 ms download latency behind
+            # the next compute.
+            depth = int(os.environ.get("OS2D_BENCH_PREFETCH", "1"))
             from os2d_tpu.utils.upload import parallel_device_put
             devs = {i: parallel_device_put(batches[i])
                     for i in range(min(depth, n_batches))}

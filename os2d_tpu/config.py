@@ -283,12 +283,30 @@ def get_default_cfg() -> ConfigNode:
                                         # Active only when the threshold is
                                         # finite; -inf (the default) keeps
                                         # every class.
-            eval_prefetch_depth=2,    # fused-eval upload lookahead (batches)
+            eval_prefetch_depth=1,    # fused-eval upload lookahead (batches).
+                                        # 1 = exactly one upload in flight,
+                                        # overlapped with compute. Measured on
+                                        # the axon tunnel: CONCURRENT uploads
+                                        # contend (2 full batches in flight =
+                                        # 12.8 MB/s aggregate vs 20.3 single),
+                                        # so depth 2 HALVED end-to-end eval
+                                        # (4.9 vs 8.2 img/s) — BENCH_NOTES r3.
             upload_streams=1,         # >1: split each image-batch upload into
                                         # k parallel chunked device_puts
                                         # (thin-tunnel hosts where the link is
                                         # per-stream limited; measure first
                                         # with tools/bench_upload.py)
+            upload_serialize=False,   # hand batch uploads to the wire ONE at
+                                        # a time with a completion fence.
+                                        # MEASURED NEGATIVE as a default
+                                        # (BENCH_NOTES r3): the fence's
+                                        # readback round trip blocks the
+                                        # producer thread's host prep, and
+                                        # K-step groups absorb upload
+                                        # contention under their long compute
+                                        # anyway (K=8: 4.41 unfenced vs 2.65
+                                        # fenced steps/s). Available for
+                                        # tunnels where contention dominates.
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices
@@ -309,13 +327,20 @@ def get_default_cfg() -> ConfigNode:
                                         # augmentation RNG draws across
                                         # threads (not bit-reproducible vs
                                         # the single-worker batch order)
-            device_class_cache=False,  # keep every (class, resample-method)
+            device_class_cache="auto",  # keep every (class, resample-method)
                                         # palette resize resident in HBM and
                                         # resolve train class images with an
                                         # on-device gather+flip (zero per-step
-                                        # class upload; data/class_cache.py).
-                                        # Needs distortion/class-crop/extra-
-                                        # mining OFF (the grozi recipe).
+                                        # class upload; data/class_cache.py;
+                                        # K=8 loop 5.77 -> 6.46 steps/s,
+                                        # BENCH_NOTES r3). Needs distortion/
+                                        # class-crop/extra-mining OFF and the
+                                        # HBM budget (the grozi recipe fits).
+                                        # "auto" (default): build when the
+                                        # recipe is compatible, else fall back
+                                        # to host class images with a log
+                                        # line; True: required (raise if
+                                        # incompatible); False: off.
             device_class_cache_budget_mb=2048,  # refuse to build beyond this
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval

@@ -1059,14 +1059,18 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
             protocol) otherwise serializes with compute over the axon tunnel —
             measured 3.2 img/s end-to-end vs 5.2 compute-only; overlap
             recovers most of the gap (BENCH_NOTES.md). Depth
-            cfg.tpu.eval_prefetch_depth (default 2, r2 VERDICT item 9) rides
-            out per-batch tunnel jitter that a single pending upload cannot.
+            cfg.tpu.eval_prefetch_depth defaults to 1: CONCURRENT uploads
+            contend on this tunnel (two full batches in flight = 12.8 MB/s
+            aggregate vs 20.3 single-stream), and depth 2 measured 4.9 vs
+            8.2 img/s end-to-end at depth 1 in the same window
+            (BENCH_NOTES r3 — reversing the r2 depth-2 reading, which was
+            taken in a window where the contention hid inside the noise).
             Partial tail batches are padded by repeating the last image (each
             bucket batch is uniform in size); n_real marks the genuine rows."""
             import queue as _queue
             import threading
 
-            depth = max(1, int(cfg.tpu.get("eval_prefetch_depth", 2)))
+            depth = max(1, int(cfg.tpu.get("eval_prefetch_depth", 1)))
             q = _queue.Queue(maxsize=depth)
 
             def producer():
@@ -1080,12 +1084,18 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                             base_images
                             + [base_images[-1]] * (batch_size - n_real)
                         )
-                        # async transfer start; cfg.tpu.upload_streams > 1
-                        # splits the put into parallel chunked transfers
-                        # (per-stream-limited tunnels, utils/upload.py)
+                        # async transfer start — at depth 1 at most one
+                        # upload is outstanding, which is the measured-good
+                        # shape (concurrent in-flight uploads contend,
+                        # BENCH_NOTES r3). cfg.tpu.upload_streams > 1 splits
+                        # the put into parallel chunked transfers;
+                        # upload_serialize=True adds a completion fence
+                        # (opt-in, see config.py).
                         dev = parallel_device_put(
                             stacked,
-                            streams=int(cfg.tpu.get("upload_streams", 1)))
+                            streams=int(cfg.tpu.get("upload_streams", 1)),
+                            serialize=bool(
+                                cfg.tpu.get("upload_serialize", False)))
                         q.put((batch_ids, dev, level_sizes, inv_scales,
                                initial_sizes))
                 except BaseException as e:  # surface in the consumer

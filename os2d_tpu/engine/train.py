@@ -526,8 +526,20 @@ def pad_class_batch(class_images, num_real, pad_to):
 
 
 def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
-                         upload_streams=None):
-    """Host batch dict (from the dataloader) -> static-shape device arrays."""
+                         upload_streams=None, upload_serialize=None):
+    """Host batch dict (from the dataloader) -> static-shape device arrays.
+
+    upload_serialize (cfg.tpu.upload_serialize, env OS2D_UPLOAD_SERIALIZE
+    for the bench tools; default OFF) routes the dominant image upload
+    through the one-in-flight transfer gate with a completion fence.
+    Measured NEGATIVE as a default (BENCH_NOTES r3): the fence's readback
+    round trip blocks the prefetcher thread's host prep, and K-step groups
+    absorb upload contention under their long compute (K=8: 4.41 unfenced
+    vs 2.65 fenced steps/s). Kept as an opt-in for tunnels where transfer
+    contention dominates host-prep overlap.
+    """
+    if upload_serialize is None:
+        upload_serialize = os.environ.get("OS2D_UPLOAD_SERIALIZE", "0") == "1"
     class_images = batch["class_images"]
     if class_images is None:
         # device-resident class cache (data/class_cache.py): resolve the
@@ -563,7 +575,8 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
         # parallel chunked transfers (per-stream-limited tunnels,
         # utils/upload.py)
         "images": (parallel_device_put(batch["images"],
-                                       streams=upload_streams)
+                                       streams=upload_streams,
+                                       serialize=upload_serialize)
                    if isinstance(batch["images"], np.ndarray)
                    else jnp.asarray(batch["images"])),
         "class_images": jnp.asarray(class_arr),
@@ -889,13 +902,23 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 f"({cfg.train.batch_size // n_dev} images/chip)"
             )
 
-    if cfg.train.do_training and bool(cfg.tpu.get("device_class_cache", False)):
+    dcc = cfg.tpu.get("device_class_cache", "auto")
+    if cfg.train.do_training and dcc not in (False, "off", "false", 0):
         from ..data.class_cache import DeviceClassCache
 
-        dataloader_train.attach_device_class_cache(DeviceClassCache.build(
-            dataloader_train,
-            budget_mb=int(cfg.tpu.get("device_class_cache_budget_mb", 2048)),
-        ))
+        try:
+            dataloader_train.attach_device_class_cache(DeviceClassCache.build(
+                dataloader_train,
+                budget_mb=int(
+                    cfg.tpu.get("device_class_cache_budget_mb", 2048)),
+            ))
+        except ValueError as e:
+            # "auto" falls back to host-built class images (incompatible
+            # augmentation recipe or over the HBM budget); an explicit True
+            # means the user requires the cache, so surface the error
+            if dcc in (True, "true", 1, "required"):
+                raise
+            logger.info("device class cache disabled (auto): %s", e)
 
     from ..parallel.mesh import primary_host
 
@@ -1007,7 +1030,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         loader_workers = max(1, int(cfg.tpu.get("train_loader_workers", 1)))
         _prep = partial(
             prepare_batch_arrays,
-            upload_streams=int(cfg.tpu.get("upload_streams", 1)))
+            upload_streams=int(cfg.tpu.get("upload_streams", 1)),
+            upload_serialize=bool(cfg.tpu.get("upload_serialize", False)))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,
             prepare_fn=None if mesh is not None else _prep,

@@ -14,11 +14,18 @@ tools/bench_upload.py is the shootout).
 """
 
 import os
+import threading
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
 _pool = None
+# one-logical-upload-in-flight gate (serialize=True): measured on the axon
+# tunnel, two CONCURRENT transfers aggregate at 12.8 MB/s vs 20.3 single
+# (tools/bench_upload.py, BENCH_NOTES r3) — overlapping uploads more than
+# halve bandwidth, so a producer that runs several batches ahead (the K-step
+# train prefetcher) must hand transfers to the wire one at a time
+_transfer_gate = threading.Lock()
 
 
 def upload_streams(default=1):
@@ -32,7 +39,17 @@ def _get_pool(k):
     return _pool
 
 
-def parallel_device_put(arr, streams=None):
+def _fence(dev):
+    """Block until `dev`'s host->device transfer has completed.
+
+    jax.block_until_ready is unreliable over the axon tunnel (ROADMAP.md
+    environment facts); a 1-element readback is the reliable fence — the
+    scalar cannot be produced before the array is resident on device.
+    """
+    np.asarray(dev[(0,) * dev.ndim] if dev.ndim else dev)
+
+
+def parallel_device_put(arr, streams=None, serialize=False):
     """device_put `arr`, optionally as `streams` parallel chunked transfers.
 
     Returns a device array (committed, possibly still in flight — same
@@ -42,15 +59,30 @@ def parallel_device_put(arr, streams=None):
     device_put non-contiguous views, each paying a full host memcpy first)
     and restores the shape with an on-device concat+reshape. Arrays too
     small to be worth splitting fall back to a single transfer.
+
+    serialize=True routes the transfer through the global one-in-flight
+    gate and blocks until it has LANDED before returning (completion
+    fence): concurrent transfers contend catastrophically on thin tunnels
+    (BENCH_NOTES r3), so producers that run several batches ahead trade
+    the async contract for clean back-to-back wire utilization.
     """
     import jax
     import jax.numpy as jnp
 
     k = upload_streams() if streams is None else max(1, int(streams))
-    if k == 1 or arr.size < k or arr.nbytes < (1 << 20):
-        return jax.device_put(arr)
-    flat = np.ascontiguousarray(arr).reshape(-1)  # view when contiguous
-    chunks = np.array_split(flat, k)              # contiguous 1-D views
-    futs = [_get_pool(k).submit(jax.device_put, c) for c in chunks]
-    parts = [f.result() for f in futs]
-    return jnp.concatenate(parts).reshape(arr.shape)
+
+    def _put():
+        if k == 1 or arr.size < k or arr.nbytes < (1 << 20):
+            return jax.device_put(arr)
+        flat = np.ascontiguousarray(arr).reshape(-1)  # view when contiguous
+        chunks = np.array_split(flat, k)              # contiguous 1-D views
+        futs = [_get_pool(k).submit(jax.device_put, c) for c in chunks]
+        parts = [f.result() for f in futs]
+        return jnp.concatenate(parts).reshape(arr.shape)
+
+    if not serialize:
+        return _put()
+    with _transfer_gate:
+        dev = _put()
+        _fence(dev)
+    return dev

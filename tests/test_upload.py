@@ -45,3 +45,34 @@ def test_env_default(monkeypatch):
     rng = np.random.RandomState(2)
     a = rng.randint(0, 255, (2, 64, 64, 3), np.uint8)
     assert np.array_equal(np.asarray(parallel_device_put(a)), a)
+
+
+@pytest.mark.parametrize("streams", [1, 2])
+def test_serialized_transfer(streams):
+    """serialize=True is the same drop-in, but returns only after the
+    transfer has landed (one-in-flight gate + completion fence —
+    BENCH_NOTES r3: concurrent in-flight uploads halve tunnel bandwidth)."""
+    rng = np.random.RandomState(3)
+    a = rng.randint(0, 255, (2, 512, 384, 3), np.uint8)
+    d = parallel_device_put(a, streams=streams, serialize=True)
+    assert np.array_equal(np.asarray(d), a)
+
+
+def test_serialized_transfer_concurrent_callers():
+    """The gate must be safe under concurrent producers (K-step prefetcher
+    threads): every caller gets its own intact array back."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    rng = np.random.RandomState(4)
+    arrays = [rng.randint(0, 255, (1, 256, 256, 3), np.uint8)
+              for _ in range(6)]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        devs = list(pool.map(
+            lambda a: parallel_device_put(a, serialize=True), arrays))
+    for a, d in zip(arrays, devs):
+        assert np.array_equal(np.asarray(d), a)
+
+
+def test_serialized_scalar_and_0d():
+    d = parallel_device_put(np.float32(3.5), serialize=True)
+    assert float(np.asarray(d)) == 3.5
