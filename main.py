@@ -64,6 +64,8 @@ def build_model_from_config(cfg, logger):
         normalization_std=tuple(cfg.model.normalization_std),
         compute_dtype=cfg.tpu.compute_dtype,
         resample_precision=cfg.tpu.get("resample_precision", "default"),
+        corr_interior_first=cfg.tpu.get("corr_interior_first", True),
+        resample_t_chunk=cfg.tpu.get("resample_t_chunk", 0),
     )
     model = Os2dModel(model_cfg)
     params = init_os2d_params(jax.random.PRNGKey(cfg.random_seed), model_cfg)

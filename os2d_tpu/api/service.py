@@ -3,7 +3,7 @@
 Port of the reference FastAPI app's handler logic (app.py:48-103) with the
 model HOISTED out of the request path (the reference rebuilds the whole model
 per request, app.py:50-67 — flagged in SURVEY.md §3.5). The FastAPI wrapper
-lives in os2d_tpu/api/app.py and imports this.
+lives at the repo root (app.py) and imports this.
 """
 
 from __future__ import annotations
@@ -104,6 +104,9 @@ class DetectionService:
         cfg.tpu.eval_top_k = max(int(max_detections), 64)
         self.eval_cfg = cfg
         self.evaluator = Evaluator(model, cfg, logger_prefix="OS2D.serve")
+        # dispatch-path observability (bench/tests assert the prescreen
+        # engages for large catalogs without parsing logs)
+        self.stats = {"prescreen_dispatches": 0, "full_dispatches": 0}
 
     def _detect_packed(self, images_u8, class_head, level_sizes, inv_scales,
                        num_views):
@@ -112,9 +115,11 @@ class DetectionService:
         n_groups = class_head.class_feats.shape[0] // max(num_views, 1)
         if (n_groups >= self.prescreen_min_classes
                 and ev.prescreen_applicable(class_head, num_views)):
+            self.stats["prescreen_dispatches"] += 1
             return ev.detect_images_prescreened(
                 self.params, images_u8, class_head, level_sizes, inv_scales,
                 self.img_normalization, num_views)
+        self.stats["full_dispatches"] += 1
         return np.asarray(ev.detect_images(
             self.params, images_u8, class_head, level_sizes, inv_scales,
             self.img_normalization, num_views))

@@ -264,6 +264,14 @@ def get_default_cfg() -> ConfigNode:
                                         # 'default' validated mAP-neutral by
                                         # tools/map_sensitivity.py (r2): dmAP
                                         # +0.0000, score delta mean 3e-4
+            corr_interior_first=True,  # correlation channels emitted with
+                                        # the pool-mask interior as a
+                                        # contiguous prefix (mAP-identical,
+                                        # kills an interior-compaction
+                                        # relayout; models/head.py)
+            resample_t_chunk=0,       # template points per unrolled resample
+                                        # chunk; 0 = measured heuristic
+                                        # (ops/sampling.py)
             eval_class_chunk=16,      # classes per head call at eval
             eval_shard_axis="classes",  # mesh eval strategy: "classes"
                                         # (each chip scores a slice of the
@@ -284,7 +292,12 @@ def get_default_cfg() -> ConfigNode:
                                         # finite; -inf (the default) keeps
                                         # every class.
             eval_prefetch_depth=1,    # fused-eval upload lookahead (batches).
-                                        # 1 = exactly one upload in flight,
+                                        # 1 = at most one QUEUED upload ahead
+                                        # of the consumer (the dequeued
+                                        # batch's async transfer may still be
+                                        # in flight, so two can briefly
+                                        # overlap; upload_serialize=True is
+                                        # the strict one-in-flight fence),
                                         # overlapped with compute. Measured on
                                         # the axon tunnel: CONCURRENT uploads
                                         # contend (2 full batches in flight =
@@ -341,6 +354,13 @@ def get_default_cfg() -> ConfigNode:
                                         # to host class images with a log
                                         # line; True: required (raise if
                                         # incompatible); False: off.
+                                        # NOTE: BOX/NEAREST resample draws
+                                        # under flipped batches are an equally
+                                        # valid phase-shifted resample, not
+                                        # bit-identical to host
+                                        # flip-then-resize (class_cache.py);
+                                        # set False for bit-reproducibility
+                                        # vs the host path.
             device_class_cache_budget_mb=2048,  # refuse to build beyond this
             device_side_pyramid=True,  # build eval pyramids on device from one uint8 image
             fold_bn=False,            # fold frozen BN into conv weights for eval

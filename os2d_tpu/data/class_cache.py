@@ -98,6 +98,20 @@ class DeviceClassCache:
                     target_area_side=loader.gt_image_size)
             if target_shape is None:
                 target_shape = (size_new.h, size_new.w)
+                # project the FULL stack size from the first class's shape
+                # and fail the budget BEFORE the per-class PIL resize loop —
+                # at INSTRE scale (~9k classes) the loop costs minutes and a
+                # multi-GB host allocation that 'auto' would only then
+                # discard (ADVICE r3)
+                projected = (len(class_ids) * n_methods
+                             * size_new.h * size_new.w * 3)
+                if budget_mb is not None and projected > budget_mb * (1 << 20):
+                    raise ValueError(
+                        f"tpu.device_class_cache needs "
+                        f"{projected / 2**20:.0f} MB for {len(class_ids)} "
+                        f"classes x {n_methods} methods, over the "
+                        f"{budget_mb} MB budget "
+                        "(tpu.device_class_cache_budget_mb)")
             elif target_shape != (size_new.h, size_new.w):
                 raise ValueError(
                     "tpu.device_class_cache needs a single class-image "
@@ -113,12 +127,6 @@ class DeviceClassCache:
             per_class.append(np.stack(variants, 0))
 
         stack_np = np.stack(per_class, 0)  # [C, M, S, S, 3]
-        if budget_mb is not None and stack_np.nbytes > budget_mb * (1 << 20):
-            raise ValueError(
-                f"tpu.device_class_cache needs {stack_np.nbytes / 2**20:.0f} "
-                f"MB for {len(class_ids)} classes x {n_methods} methods, "
-                f"over the {budget_mb} MB budget "
-                "(tpu.device_class_cache_budget_mb)")
         logger.info(
             "device class cache: %d classes x %d methods @ %s = %.0f MB HBM",
             len(class_ids), n_methods, target_shape,

@@ -133,6 +133,8 @@ def _scan_head_chunks(model_config, tn_params, fm, feats_r, mask_r,
             train_mode=False,
             compute_dtype=model_config.dtype,
             resample_precision=model_config.resample_precision,
+            corr_interior_first=model_config.corr_interior_first,
+            resample_t_chunk=model_config.resample_t_chunk,
         )
         return None, (out["loc"], out["cls"])
 

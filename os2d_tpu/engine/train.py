@@ -154,6 +154,8 @@ class TrainStep:
                 use_inverse_geom_model=model_cfg.use_inverse_geom_model,
                 train_mode=True, compute_dtype=model_cfg.dtype,
                 resample_precision=model_cfg.resample_precision,
+                corr_interior_first=model_cfg.corr_interior_first,
+                resample_t_chunk=model_cfg.resample_t_chunk,
             )
 
             # device-side target encoding (the reference encodes on host in the
@@ -329,6 +331,8 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
         use_inverse_geom_model=model_cfg.use_inverse_geom_model,
         train_mode=True, compute_dtype=model_cfg.dtype,
         resample_precision=model_cfg.resample_precision,
+        corr_interior_first=model_cfg.corr_interior_first,
+        resample_t_chunk=model_cfg.resample_t_chunk,
     )
     obj = train_cfg.objective
     loc_t, cls_t = jax.vmap(
@@ -902,8 +906,20 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 f"({cfg.train.batch_size // n_dev} images/chip)"
             )
 
-    dcc = cfg.tpu.get("device_class_cache", "auto")
-    if cfg.train.do_training and dcc not in (False, "off", "false", 0):
+    dcc_raw = cfg.tpu.get("device_class_cache", "auto")
+    # normalize case/synonyms so YAML/CLI overrides like 'False' or 'OFF'
+    # can't silently fall through to 'auto' (ADVICE r3); unknown literals
+    # are an error, not a silent mode
+    dcc = str(dcc_raw).lower()
+    if dcc in ("false", "off", "0", "no", "none"):
+        dcc = "off"
+    elif dcc in ("true", "1", "yes", "required"):
+        dcc = "required"
+    elif dcc != "auto":
+        raise ValueError(
+            f"tpu.device_class_cache={dcc_raw!r}: expected one of "
+            "auto / True (required) / False (off)")
+    if cfg.train.do_training and dcc != "off":
         from ..data.class_cache import DeviceClassCache
 
         try:
@@ -914,9 +930,9 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             ))
         except ValueError as e:
             # "auto" falls back to host-built class images (incompatible
-            # augmentation recipe or over the HBM budget); an explicit True
+            # augmentation recipe or over the HBM budget); "required"
             # means the user requires the cache, so surface the error
-            if dcc in (True, "true", 1, "required"):
+            if dcc == "required":
                 raise
             logger.info("device class cache disabled (auto): %s", e)
 

@@ -169,6 +169,7 @@ def head_forward(
     compute_dtype=jnp.float32,
     resample_precision: str = "default",
     corr_interior_first: bool = True,
+    resample_t_chunk: int = 0,
 ):
     """Score every (image, class, anchor) triple.
 
@@ -200,30 +201,19 @@ def head_forward(
         c, TEMPLATE_W * TEMPLATE_H, f
     )
     t_dim = TEMPLATE_W * TEMPLATE_H
-    import os as _os
 
     # interior-first template channel order (default, Os2dConfig
-    # .corr_interior_first; OS2D_CORR_PERM=0/1 force-overrides for A/B): the
-    # resample then reads a contiguous [..., :121] prefix instead of a
-    # strided interior compaction of the minor dim (a slow whole-tensor
-    # relayout, ~21 ms/dispatch at C=16 r2, ~200 ms/dispatch at C=1024 r3
-    # profiles); the TN conv kernel rows permute to match, so the
-    # computation is exactly the reference's up to channel summation order
-    # (mAP-gated: dmAP +0.0000, tools/map_sensitivity.py r3)
-    env_perm = _os.environ.get("OS2D_CORR_PERM")
-    if env_perm is not None:
-        corr_interior_first = env_perm == "1"
+    # .corr_interior_first): the resample then reads a contiguous
+    # [..., :121] prefix instead of a strided interior compaction of the
+    # minor dim (a slow whole-tensor relayout, ~21 ms/dispatch at C=16 r2,
+    # ~200 ms/dispatch at C=1024 r3 profiles); the TN conv kernel rows
+    # permute to match, so the computation is exactly the reference's up to
+    # channel summation order (mAP-gated: dmAP +0.0000,
+    # tools/map_sensitivity.py r3)
     perm = None
     if corr_interior_first:
         perm = _interior_permutation()
         feats_t = feats_t[:, jnp.asarray(perm), :]
-    # lane-pad experiment (OS2D_CORR_PAD=1): emit corr with T padded 225->256
-    # so the (8,128)-tiled minor dim needs no re-pad before the TN conv;
-    # zero template channels are exact (relu(0)=0, L2-norm and conv with
-    # zero-padded kernels unchanged); the resample slices the real 225 back
-    t_store = 256 if _os.environ.get("OS2D_CORR_PAD", "0") == "1" else t_dim
-    if t_store != t_dim:
-        feats_t = jnp.pad(feats_t, ((0, 0), (0, t_store - t_dim), (0, 0)))
     corr = jnp.einsum(
         "bhwf,ctf->bchwt",
         fm.astype(compute_dtype),
@@ -232,7 +222,7 @@ def head_forward(
     )
 
     # regress transformation parameters per (image, class, anchor)
-    tn_in = corr.reshape(b * c, h, w, t_store)
+    tn_in = corr.reshape(b * c, h, w, t_dim)
     if perm is not None:
         # permute conv0's input-channel rows to match the corr channel order
         tn_params = dict(transform_net_params)
@@ -243,8 +233,6 @@ def head_forward(
     else:
         tn_params = transform_net_params
     tparams = transform_net_forward(tn_params, tn_in, compute_dtype)
-    if t_store != t_dim:
-        corr = corr[..., :t_dim]
     theta = _prepare_theta(tparams.reshape(-1, tparams.shape[-1]), simple_affine)
     if use_inverse_geom_model:
         theta = invert_affine_2x3(theta)
@@ -282,12 +270,12 @@ def head_forward(
         def _resample(g):
             return resample_correlation_map(
                 corr_int, g[..., ts, ts, :], mask_sub,
-                precision=resample_precision)
+                precision=resample_precision, t_chunk=resample_t_chunk)
     else:
         def _resample(g):
             return resample_correlation_map_masked(
                 corr, g, class_head.pool_mask, POOL_BORDER_WIDTH,
-                precision=resample_precision,
+                precision=resample_precision, t_chunk=resample_t_chunk,
             )
 
     cls = _resample(grids_unit)

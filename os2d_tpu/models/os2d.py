@@ -68,6 +68,10 @@ class Os2dConfig:
     # before the resample (~200 ms/dispatch at C=1024, tools/profile_fused.py
     # r3); mAP-gated identical to the natural order (dmAP +0.0000, identical
     # detection deltas, tools/map_sensitivity.py r3)
+    resample_t_chunk: int = 0  # template points per unrolled resample chunk;
+    # 0 = measured heuristic (8 for class chunks <= 32, else 1 — the VPU
+    # loop fusion at large C runs fastest at the smallest t granularity,
+    # BENCH_NOTES r3)
 
     @property
     def dtype(self):
@@ -162,6 +166,7 @@ class Os2dModel:
             compute_dtype=self.config.dtype,
             resample_precision=self.config.resample_precision,
             corr_interior_first=self.config.corr_interior_first,
+            resample_t_chunk=self.config.resample_t_chunk,
         )
 
     # ---- public API ----

@@ -26,10 +26,6 @@ INPUT_DIM = 15 * 15
 
 
 def _conv(x, w, b, padding, dtype=None):
-    if x.shape[-1] > w.shape[2]:
-        # lane-padded input channels (head.py OS2D_CORR_PAD): zero kernel
-        # rows for the pad channels keep the conv exact
-        w = jnp.pad(w, ((0, 0), (0, 0), (0, x.shape[-1] - w.shape[2]), (0, 0)))
     if dtype is not None:
         x = x.astype(dtype)
         w = w.astype(dtype)

@@ -14,7 +14,6 @@ TPU replacements for F.grid_sample / F.affine_grid use sites in the reference:
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
@@ -126,22 +125,21 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     gradients (hat is piecewise linear).
 
     Args / returns: see resample_correlation_map_gather (same contract).
+    t_chunk: template points per unrolled chunk; None = measured heuristic
+    (Os2dConfig.resample_t_chunk overrides).
     """
-    import os as _os
-
     b, c, h, w, t = corr.shape
     th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
     assert th * tw == t, (th, tw, t)
     a = h * w
-    if t_chunk is None:
+    if t_chunk is None or t_chunk <= 0:
         # MEASURED r3 (BENCH_NOTES): at class chunks > ~32 XLA lowers each
         # chunk's hat einsum pair as one VPU loop fusion (materializing the
-        # [B,C,t,A,H] hat operand for real MXU dots OOMs / runs 3x slower —
-        # the OS2D_HAT_BARRIER experiment), and the fusion runs fastest with
-        # the smallest t granularity: C=1024 t_chunk 8 -> 1 is 4.0 -> 3.4
-        # s/image. Small chunks keep the r2-tuned value.
+        # [B,C,t,A,H] hat operand for real MXU dots OOMs / runs 3x slower),
+        # and the fusion runs fastest with the smallest t granularity:
+        # C=1024 t_chunk 8 -> 1 is 4.0 -> 3.4 s/image. Small class chunks
+        # keep the r2-tuned value.
         t_chunk = 8 if c <= 32 else 1
-    t_chunk = int(_os.environ.get("OS2D_T_CHUNK", t_chunk))
 
     grids = grids_unit.reshape(b, c, a, th, tw, 2)
     px = (grids[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -186,35 +184,14 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     # the whole corr tensor into a chunk-leading stacked layout — profiled at
     # >60% of device time as copy-start/copy-done pairs. Static slices fuse
     # into the einsums with no staging copies (tools/profile_fused.py, r2).
-    # contract-W-first experiment (OS2D_RESAMPLE_WFIRST=1): the first einsum
-    # contracts over h (K=H, e.g. 96 — misaligned with the MXU's 128 lanes);
-    # contracting w first makes K=W (128 at the largest level, lane-exact),
-    # same FLOPs, potentially better MXU utilization. The h-reduction then
-    # runs as the cheap elementwise second einsum.
-    w_first = _os.environ.get("OS2D_RESAMPLE_WFIRST", "0") == "1"
-    # bf16-native hat generation (OS2D_HAT_BF16=1): split the coordinate into
-    # integer + fraction on the SMALL [B,C,T,A] tensor, then build the hat
-    # from exactly-representable bf16 pieces (integers <= 256 are exact in
-    # bf16; the fraction only matters within the 2-wide support where bf16
-    # spacing is 2^-9 ~= the 'default'-tier matmul rounding anyway). Skips
-    # the fp32->bf16 convert pass the einsum would otherwise insert.
-    hat_bf16 = (_os.environ.get("OS2D_HAT_BF16", "0") == "1"
-                and not int8_tier and precision == "default")
-    # bf16 intermediate experiment (OS2D_R_BF16=1): emit the first einsum's
-    # [B,C,t,A,W] result directly in bf16. Under the 'default' tier the
-    # second einsum rounds r to bf16 anyway before its multiply-reduce, so
-    # this only moves the rounding from read-time to write-time — but halves
-    # the HBM write+read of the largest intermediate in the op.
-    r_bf16 = (_os.environ.get("OS2D_R_BF16", "0") == "1"
-              and not int8_tier and precision == "default")
+    # Rejected reformulations (measured, BENCH_NOTES r3; branches removed r4):
+    # W-first einsum order (lane-exact K) 4.00 -> 4.55 s/image at C=1024;
+    # bf16-native hat generation 10.39 -> 10.07 img/s; bf16 first-einsum
+    # intermediate neutral; forcing MXU dots via optimization_barrier OOMs or
+    # runs 3x slower than XLA's VPU loop fusion; lane-padding T 225 -> 256
+    # neutral.
 
     def _hat(p_i, iota):
-        if hat_bf16:
-            p0 = jnp.floor(p_i)
-            frac = (p_i - p0).astype(jnp.bfloat16)
-            d = (p0.astype(jnp.bfloat16)[..., None]
-                 - iota.astype(jnp.bfloat16)) + frac[..., None]
-            return jnp.maximum(jnp.bfloat16(0.0), 1.0 - jnp.abs(d))
         return jnp.maximum(0.0, 1.0 - jnp.abs(p_i[..., None] - iota))
 
     scores = jnp.zeros((b, c, a), jnp.float32)
@@ -226,15 +203,6 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
         mask_i = mask_t[:, ts]
         wy = _hat(py_i, iota_h)
         wx = _hat(px_i, iota_w)
-        if _os.environ.get("OS2D_HAT_BARRIER", "0") == "1":
-            # NEGATIVE RESULT (r3, kept for re-testing on new toolchains):
-            # the barrier forces XLA to materialize the hat rows and run
-            # real MXU dots instead of the VPU loop fusion it otherwise
-            # demotes this chain to at large class chunks. Measured C=1024:
-            # OOM at t_chunk=8 (2.25G hats + 6G intermediate), 9.75 vs 3.40
-            # s/image at t_chunk=1 — the hat/intermediate HBM traffic loses
-            # to the VPU fusion by ~3x; XLA's demotion is the right call.
-            wy, wx = jax.lax.optimization_barrier((wy, wx))
         if int8_tier:
             wy_q = jnp.round(wy * 127.0).astype(jnp.int8)
             r = jnp.einsum("bctah,bchwt->bctaw", wy_q, corr_i,
@@ -243,26 +211,9 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
             out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
                              preferred_element_type=jnp.float32,
                              precision="default")
-        elif hat_bf16:
-            # operands are already bf16 -> XLA runs the single-pass MXU
-            # matmul directly, no convert pass; fp32 accumulation as before
-            r = jnp.einsum("bctah,bchwt->bctaw", wy,
-                           corr_i.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-            out = jnp.einsum("bctaw,bctaw->bcta", r.astype(jnp.bfloat16),
-                             wx, preferred_element_type=jnp.float32)
-        elif w_first:
-            r = jnp.einsum("bctaw,bchwt->bctah", wx, corr_i,
-                           preferred_element_type=(
-                               jnp.bfloat16 if r_bf16 else jnp.float32),
-                           precision=precision)
-            out = jnp.einsum("bctah,bctah->bcta", r, wy,
-                             preferred_element_type=jnp.float32,
-                             precision=precision)
         else:
             r = jnp.einsum("bctah,bchwt->bctaw", wy, corr_i,
-                           preferred_element_type=(
-                               jnp.bfloat16 if r_bf16 else jnp.float32),
+                           preferred_element_type=jnp.float32,
                            precision=precision)
             out = jnp.einsum("bctaw,bctaw->bcta", r, wx,
                              preferred_element_type=jnp.float32,
@@ -337,7 +288,8 @@ def resample_correlation_map_gather(corr, grids_unit, pool_mask):
 
 
 def resample_correlation_map_masked(corr, grids_unit, pool_mask,
-                                    border: int, precision="high"):
+                                    border: int, precision="high",
+                                    t_chunk=None):
     """resample_correlation_map restricted to the pool mask's interior.
 
     The reference pool mask zeroes a border of width 2 around the 15x15
@@ -353,4 +305,4 @@ def resample_correlation_map_masked(corr, grids_unit, pool_mask,
     grids_sub = grids_unit[..., ts, ts, :]
     mask_sub = pool_mask[..., ts, ts]
     return resample_correlation_map(corr_sub, grids_sub, mask_sub,
-                                    precision=precision)
+                                    precision=precision, t_chunk=t_chunk)

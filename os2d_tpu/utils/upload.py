@@ -46,6 +46,10 @@ def _fence(dev):
     environment facts); a 1-element readback is the reliable fence — the
     scalar cannot be produced before the array is resident on device.
     """
+    if dev.size == 0:
+        # nothing to fence; an element readback on a 0-length axis would
+        # be undefined (JAX clamps gather indices, ADVICE r3)
+        return
     np.asarray(dev[(0,) * dev.ndim] if dev.ndim else dev)
 
 

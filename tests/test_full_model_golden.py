@@ -32,38 +32,43 @@ class _TorchResNetFull(TorchResNetC4):
     """C4 backbone + dummy layer4/avgpool/fc so the reference's
     ResNetFeatureExtractor can delattr them (feature_extractor.py:42-55)."""
 
-    def __init__(self):
-        super().__init__()
+    def __init__(self, layers=(3, 4, 6)):
+        super().__init__(layers=layers)
         self.layer4 = nn.Sequential()
         self.avgpool = nn.Identity()
         self.fc = nn.Identity()
 
 
-def build_reference_model(seed: int = 3):
+def build_reference_model(seed: int = 3, backbone_arch: str = "resnet50",
+                          simplify_affine: bool = False):
     """Reference Os2dModel with an injected torch backbone + nudged aligner.
 
     Shared by this module and the full-protocol parity test
-    (test_full_protocol_golden.py)."""
+    (test_full_protocol_golden.py). backbone_arch/simplify_affine select the
+    paper's model variants (V2 = resnet50 + full affine, V1 = resnet101 +
+    simplified affine; reference README.md:63-113)."""
     import os2d.modeling.feature_extractor as ref_fe
     from os2d.modeling.model import Os2dModel as RefOs2dModel
 
     torch.manual_seed(seed)
     rng = np.random.RandomState(seed)
-    net = _TorchResNetFull()
+    net = _TorchResNetFull(
+        layers=(3, 4, 23) if backbone_arch == "resnet101" else (3, 4, 6))
     _randomize_bn_stats(net, rng)
 
-    original = ref_fe.resnet50
+    original = (ref_fe.resnet50, ref_fe.resnet101)
     ref_fe.resnet50 = lambda norm_layer=None: net
+    ref_fe.resnet101 = lambda norm_layer=None: net
     try:
         import logging
 
         ref_model = RefOs2dModel(
             logger=logging.getLogger("ref"), is_cuda=False,
-            backbone_arch="resnet50", merge_branch_parameters=True,
-            use_inverse_geom_model=True, simplify_affine=False,
+            backbone_arch=backbone_arch, merge_branch_parameters=True,
+            use_inverse_geom_model=True, simplify_affine=simplify_affine,
         )
     finally:
-        ref_fe.resnet50 = original
+        ref_fe.resnet50, ref_fe.resnet101 = original
     # give the aligner non-trivial weights (keep identity last layer + nudge)
     reg = ref_model.os2d_head_creator.aligner.parameter_regressor
     with torch.no_grad():

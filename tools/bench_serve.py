@@ -8,8 +8,16 @@ for a C-class query catalog (OS2D_SERVE_CLASSES, default 16) at
 OS2D_SERVE_SIZE canvas (default 1024 to bound compile time; production
 default is service.TARGET_IMAGE_SIZE=1500).
 
+Round 4 adds a CONCURRENT-clients leg (VERDICT r3 item 7): N parallel
+clients (OS2D_SERVE_CLIENTS, default 8) issue OS2D_SERVE_REQS requests each
+against the DynamicBatcher at each batch-size cap in OS2D_SERVE_CAPS
+(default "1,4,8"); reports p50/p99 client latency and aggregate throughput
+per cap, and verifies the prescreen path engages for a large query catalog
+(OS2D_SERVE_PRESCREEN_CLASSES, default 48 >= prescreen_min_classes).
+
 Usage: PYTHONPATH=. python tools/bench_serve.py
-Prints one JSON line: {"serve_latency_ms": ..., "serve_images_per_sec": ...}
+Prints one JSON line: {"serve_latency_ms": ..., "serve_images_per_sec": ...,
+"concurrent": {cap: {...}}, ...}
 """
 
 import json
@@ -84,6 +92,66 @@ def main():
         "batch": batch, "classes": n_classes, "canvas": canvas,
         "pyramid": list(scales),
     }
+
+    # ---- concurrent clients against the DynamicBatcher (VERDICT r3 #7) ----
+    from concurrent.futures import ThreadPoolExecutor
+
+    from os2d_tpu.api.service import DynamicBatcher
+
+    n_clients = int(os.environ.get("OS2D_SERVE_CLIENTS", "8"))
+    n_reqs = int(os.environ.get("OS2D_SERVE_REQS", "6"))
+    caps = [int(c) for c in os.environ.get("OS2D_SERVE_CAPS", "1,4,8").split(",")]
+    out["concurrent"] = {}
+    for cap in caps:
+        # warm the batched program at this cap's group shape before timing
+        service.detect_batch(scenes[:1] * min(cap, n_clients), queries)
+        batcher = DynamicBatcher(service, max_batch=cap, max_wait_ms=20.0)
+
+        def client(k):
+            lats = []
+            for j in range(n_reqs):
+                t0 = time.perf_counter()
+                r = batcher.detect(scenes[(k + j) % len(scenes)], queries)
+                lats.append((time.perf_counter() - t0) * 1000.0)
+                assert r["scores"], "concurrent client lost detections"
+            return lats
+
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=n_clients) as pool:
+            all_lats = sum(pool.map(client, range(n_clients)), [])
+        wall = time.perf_counter() - t0
+        batcher.close()
+        out["concurrent"][str(cap)] = {
+            "p50_ms": round(float(np.percentile(all_lats, 50)), 1),
+            "p99_ms": round(float(np.percentile(all_lats, 99)), 1),
+            "images_per_sec": round(n_clients * n_reqs / wall, 2),
+        }
+        print(f"cap={cap}: p50={out['concurrent'][str(cap)]['p50_ms']} ms "
+              f"p99={out['concurrent'][str(cap)]['p99_ms']} ms "
+              f"{out['concurrent'][str(cap)]['images_per_sec']} img/s",
+              file=sys.stderr)
+    out["clients"] = n_clients
+
+    # ---- prescreen engagement for a large catalog ----
+    n_pre = int(os.environ.get("OS2D_SERVE_PRESCREEN_CLASSES", "48"))
+    service_pre = DetectionService(model, params, pyramid_scales=scales,
+                                   prescreen_min_classes=32,
+                                   score_threshold=0.5)
+    queries_pre = [Image.fromarray(np.roll(patch, 5 * k, axis=0))
+                   for k in range(n_pre)]
+    t0 = time.perf_counter()
+    service_pre.detect(scenes[0], queries_pre)
+    pre_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    service_pre.detect(scenes[0], queries_pre)
+    out["prescreen_latency_ms"] = round((time.perf_counter() - t0) * 1000.0, 1)
+    out["prescreen_engaged"] = service_pre.stats["prescreen_dispatches"] > 0
+    assert out["prescreen_engaged"], (
+        f"prescreen did not engage for {n_pre} classes: {service_pre.stats}")
+    print(f"prescreen({n_pre} classes): engaged, "
+          f"{out['prescreen_latency_ms']} ms (compile {pre_compile:.1f}s)",
+          file=sys.stderr)
+
     print(json.dumps(out))
 
 

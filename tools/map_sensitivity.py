@@ -196,15 +196,12 @@ def main():
         # no-perm A/B runnable so future numeric changes can re-gate it
         "fp32_default_noperm": dict(compute_dtype="float32",
                                     resample_precision="default",
-                                    env={"OS2D_CORR_PERM": "0"}),
+                                    corr_interior_first=False),
     }
 
     detections = {}
     results = {}
     for name, nc in configs.items():
-        env_flags = nc.get("env", {})
-        for k, v in env_flags.items():
-            os.environ[k] = v
         cfg = get_default_cfg()
         cfg.eval.mAP_iou_thresholds = [0.5]
         cfg.tpu.eval_class_chunk = NUM_CLASSES
@@ -218,6 +215,7 @@ def main():
         m_cfg = Os2dConfig(
             compute_dtype=cfg.tpu.compute_dtype,
             resample_precision=cfg.tpu.resample_precision,
+            corr_interior_first=nc.get("corr_interior_first", True),
         )
         model = Os2dModel(m_cfg)
         p = jax.tree_util.tree_map(lambda x: x, params_np)
