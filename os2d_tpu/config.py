@@ -304,11 +304,17 @@ def get_default_cfg() -> ConfigNode:
                                         # 12.8 MB/s aggregate vs 20.3 single),
                                         # so depth 2 HALVED end-to-end eval
                                         # (4.9 vs 8.2 img/s) — BENCH_NOTES r3.
-            upload_streams=1,         # >1: split each image-batch upload into
-                                        # k parallel chunked device_puts
-                                        # (thin-tunnel hosts where the link is
-                                        # per-stream limited; measure first
-                                        # with tools/bench_upload.py)
+            upload_streams=2,         # split each image-batch upload into
+                                        # k parallel chunked device_puts.
+                                        # Default 2 (r4): the axon tunnel is
+                                        # per-stream limited — 2-way chunking
+                                        # = 1.82x bandwidth
+                                        # (tools/bench_upload.py) and lifted
+                                        # the steady-state driver bench
+                                        # 5.98 -> 9.50 img/s in adjacent
+                                        # same-window legs (BENCH_NOTES r4).
+                                        # Set 1 for direct-attached hosts
+                                        # where chunking is pure overhead.
             upload_serialize=False,   # hand batch uploads to the wire ONE at
                                         # a time with a completion fence.
                                         # MEASURED NEGATIVE as a default

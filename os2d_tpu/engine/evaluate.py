@@ -1095,7 +1095,7 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                         # (opt-in, see config.py).
                         dev = parallel_device_put(
                             stacked,
-                            streams=int(cfg.tpu.get("upload_streams", 1)),
+                            streams=int(cfg.tpu.get("upload_streams", 2)),
                             serialize=bool(
                                 cfg.tpu.get("upload_serialize", False)))
                         q.put((batch_ids, dev, level_sizes, inv_scales,

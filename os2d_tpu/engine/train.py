@@ -1046,7 +1046,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         loader_workers = max(1, int(cfg.tpu.get("train_loader_workers", 1)))
         _prep = partial(
             prepare_batch_arrays,
-            upload_streams=int(cfg.tpu.get("upload_streams", 1)),
+            upload_streams=int(cfg.tpu.get("upload_streams", 2)),
             upload_serialize=bool(cfg.tpu.get("upload_serialize", False)))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,

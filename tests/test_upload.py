@@ -3,8 +3,9 @@
 The helper must be a drop-in for jax.device_put at any stream count: same
 values, any shape, any dtype — the eval producer, the train prefetcher, and
 bench.py all route image batches through it (OS2D_UPLOAD_STREAMS /
-cfg.tpu.upload_streams gate the parallel form; default 1 keeps the plain
-device_put path).
+cfg.tpu.upload_streams select the stream count; the r4 default is 2 on the
+per-stream-limited axon tunnel, and small arrays always fall back to the
+plain device_put path).
 """
 
 import numpy as np
