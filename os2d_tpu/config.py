@@ -272,7 +272,14 @@ def get_default_cfg() -> ConfigNode:
             resample_t_chunk=0,       # template points per unrolled resample
                                         # chunk; 0 = measured heuristic
                                         # (ops/sampling.py)
-            eval_class_chunk=16,      # classes per head call at eval
+            eval_class_chunk=16,      # classes per head call at eval; bounds
+                                        # the [chunk, A, 225] correlation
+                                        # tensor at the LARGEST pyramid level
+            eval_class_chunk_per_level=True,  # let SMALLER pyramid levels run
+                                        # proportionally larger class chunks
+                                        # (same memory bound, fewer scan
+                                        # steps; numerics identical;
+                                        # single-chip path only)
             eval_shard_axis="classes",  # mesh eval strategy: "classes"
                                         # (each chip scores a slice of the
                                         # class bank; huge catalogs) or

@@ -306,6 +306,7 @@ class Evaluator:
             int(cfg.tpu.eval_top_k),
             bool(cfg.eval.nms_across_classes),
             int(cfg.tpu.eval_class_chunk),
+            bool(cfg.tpu.get("eval_class_chunk_per_level", True)),
             str(self.model.config.resample_precision),
         )
 
@@ -507,12 +508,45 @@ class Evaluator:
             sizes = list(level_sizes)
             scales = [tuple(s) for s in inverse_scales]
 
-            def _pad_c(x):
-                if c_pad == c_total:
+            # ASYMMETRIC PER-LEVEL CLASS CHUNKS (r4, VERDICT r3 item 3a):
+            # eval_class_chunk bounds the [chunk, A_l, 225] correlation
+            # tensor at the LARGEST pyramid level (the memory cliff,
+            # BENCH_NOTES r3); smaller levels can run proportionally larger
+            # chunks — fewer scan steps, less per-chunk fixed overhead (the
+            # r3 chunk sweep at C=1024: 128 > 64 > 32 until memory).
+            # Numerics identical (chunking only batches classes). Mesh
+            # class-sharding keeps the uniform chunk (a per-level reshape
+            # across the sharded class axis would insert collectives).
+            from ..structures.feature_map import feature_map_size_for_image
+
+            per_level = (self.mesh is None and n_chunks > 1 and bool(
+                cfg.tpu.get("eval_class_chunk_per_level", True)))
+            if per_level:
+                areas = []
+                for sz in sizes:
+                    fm_sz = feature_map_size_for_image(
+                        FeatureMapSize(w=sz.w, h=sz.h))
+                    areas.append(fm_sz.h * fm_sz.w)
+                a_max = max(areas)
+                cap = (c_total + 7) // 8 * 8
+
+                def _level_chunk(a_l):
+                    c_l = (chunk * a_max // a_l) // 8 * 8
+                    return min(max(chunk, c_l), cap)
+
+                level_chunks = [_level_chunk(a) for a in areas]
+            else:
+                level_chunks = [chunk] * len(sizes)
+
+            def _pad_to(x, cp):
+                if cp == c_total:
                     return x
                 return jnp.concatenate(
-                    [x, jnp.zeros((c_pad - c_total,) + x.shape[1:], x.dtype)]
+                    [x, jnp.zeros((cp - c_total,) + x.shape[1:], x.dtype)]
                 )
+
+            def _pad_c(x):
+                return _pad_to(x, c_pad)
 
             if with_losses:
                 d_boxes_levels = [
@@ -526,17 +560,30 @@ class Evaluator:
             def detect(params, images_u8, class_feats, q_scales, pool_mask,
                        gt_boxes, gt_labels, gt_difficult, gt_valid):
                 img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
-                feats_r = _pad_c(class_feats).reshape(
-                    (n_chunks, chunk) + class_feats.shape[1:]
-                )
-                mask_r = _pad_c(pool_mask).reshape(
-                    (n_chunks, chunk) + pool_mask.shape[1:]
-                )
-                if quantized:
-                    qs = jnp.concatenate(
-                        [q_scales, jnp.ones((c_pad - c_total,), q_scales.dtype)]
-                    ) if c_pad != c_total else q_scales
-                    qs_r = qs.reshape(n_chunks, chunk)
+
+                bank_cache = {}
+
+                def _chunked_bank(ch):
+                    """(feats_r, mask_r, qs_r) reshaped to [n_ch, ch, ...]."""
+                    if ch in bank_cache:
+                        return bank_cache[ch]
+                    n_ch = (c_total + ch - 1) // ch
+                    cp = n_ch * ch
+                    f = _pad_to(class_feats, cp).reshape(
+                        (n_ch, ch) + class_feats.shape[1:])
+                    m = _pad_to(pool_mask, cp).reshape(
+                        (n_ch, ch) + pool_mask.shape[1:])
+                    q = None
+                    if quantized:
+                        qs = jnp.concatenate(
+                            [q_scales,
+                             jnp.ones((cp - c_total,), q_scales.dtype)]
+                        ) if cp != c_total else q_scales
+                        q = qs.reshape(n_ch, ch)
+                    bank_cache[ch] = (f, m, q)
+                    return bank_cache[ch]
+
+                feats_r, mask_r, qs_r = _chunked_bank(chunk)
                 if self.mesh is not None:
                     from jax.sharding import NamedSharding, PartitionSpec as P
                     from ..parallel.mesh import DATA_AXIS
@@ -553,7 +600,7 @@ class Evaluator:
 
                 n_img = images_u8.shape[0]
                 loc_p, cls_p = [], []
-                for sz in sizes:
+                for sz, ch_l in zip(sizes, level_chunks):
                     if (sz.h, sz.w) == images_u8.shape[1:3]:
                         lvl = img
                     else:
@@ -564,9 +611,13 @@ class Evaluator:
                     fm = resnet_c4_forward(
                         params["backbone"], lvl, model.config.dtype
                     )
+                    if self.mesh is None and ch_l != chunk:
+                        f_l, m_l, q_l = _chunked_bank(ch_l)
+                    else:
+                        f_l, m_l, q_l = feats_r, mask_r, qs_r
                     locs, clss = _scan_head_chunks(
                         model.config, params["transform_net"], fm,
-                        feats_r, mask_r, qs_r if quantized else None,
+                        f_l, m_l, q_l,
                     )
                     loc_p.append(locs[:, :c_total])
                     cls_p.append(clss[:, :c_total])

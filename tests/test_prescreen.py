@@ -211,3 +211,32 @@ def test_prescreen_with_tta_views(setup):
     _assert_rows_equal(full, pre)
     cfg.eval.nms_score_threshold = float("-inf")
     cfg.tpu.eval_class_chunk = 2
+
+
+def test_per_level_class_chunks_match_uniform(setup):
+    """Asymmetric per-level class chunks (cfg.tpu.eval_class_chunk_per_level,
+    r4): smaller pyramid levels run larger chunks — pure scheduling, so
+    detections must match the uniform-chunk program exactly."""
+    cfg0, model, params, scene, head, _, _, norm = setup
+
+    sizes = [FeatureMapSize(w=IMG_W, h=IMG_H),
+             FeatureMapSize(w=IMG_W // 2, h=IMG_H // 2)]
+    inv = [(1.0, 1.0), (2.0, 2.0)]
+
+    import copy
+
+    results = {}
+    for per_level in (False, True):
+        cfg = copy.deepcopy(cfg0)
+        cfg.tpu.eval_class_chunk = 2  # 8 classes -> 4 chunks at the big level
+        cfg.tpu.eval_class_chunk_per_level = per_level
+        ev = Evaluator(model, cfg)
+        packed = ev.detect_images(
+            params, scene[None], head, sizes, inv, norm)
+        results[per_level] = unpack_detections(np.asarray(packed))
+
+    a, b = results[False], results[True]
+    assert (a["valid"] == b["valid"]).all()
+    v = a["valid"]
+    np.testing.assert_allclose(a["scores"][v], b["scores"][v], atol=1e-5)
+    np.testing.assert_allclose(a["boxes"][v], b["boxes"][v], atol=1e-4)
