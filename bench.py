@@ -119,14 +119,36 @@ def main():
         r = np.random.RandomState(seed)
         return r.randint(0, 255, (BATCH, IMG_H, IMG_W, 3), np.uint8)
 
+    from os2d_tpu.utils.upload import parallel_device_put
+
+    # optional YUV 4:2:0 wire format (OS2D_BENCH_PIXEL_FORMAT=yuv420,
+    # ops/pixel_format.py): halves the upload payload — the binding resource
+    # of the end-to-end loop (upload-bound ceiling 2 img / (7.4 MB / BW)).
+    # Host-side encode is done up front here because the production eval
+    # loop runs it in the dataloader's producer thread, overlapped with
+    # compute (engine/evaluate.py); the timed stream below measures the
+    # same device+tunnel pipeline either way. Default rgb8 is bit-exact.
+    pixel_format = os.environ.get("OS2D_BENCH_PIXEL_FORMAT", "rgb8")
+    if pixel_format == "yuv420":
+        from os2d_tpu.ops.pixel_format import PackedYuv420, rgb_to_yuv420
+
+        def stage_host(b):
+            return rgb_to_yuv420(b)
+
+        def upload(p):
+            return PackedYuv420(parallel_device_put(p.data), p.shape)
+    else:
+        def stage_host(b):
+            return b
+
+        upload = parallel_device_put
+
     # warmup (compilation + upload pool spin-up: the first chunked
     # parallel_device_put pays thread-pool creation and tunnel stream
     # establishment — without this, pass 0 of the timed stream reads ~3.5
     # img/s instead of steady-state)
-    from os2d_tpu.utils.upload import parallel_device_put as _pdp
-
     t0 = time.time()
-    run_batch(_pdp(make_batch(123)))
+    run_batch(upload(stage_host(make_batch(123))))
     warmup_s = time.time() - t0
     print(f"warmup (compile) took {warmup_s:.1f}s", file=sys.stderr)
 
@@ -154,14 +176,14 @@ def main():
     # additionally held one step before blocking, hiding its ~18 ms download
     # latency behind the next compute.
     depth = int(os.environ.get("OS2D_BENCH_PREFETCH", "1"))
-    from os2d_tpu.utils.upload import parallel_device_put
 
     n_total = n_batches * N_PASSES
-    stream = [batches[i % n_batches] for i in range(n_total)]
+    staged = [stage_host(b) for b in batches]
+    stream = [staged[i % n_batches] for i in range(n_total)]
     pass_rates = []
     with maybe_trace_from_env():
         t_marks = [time.time()]
-        devs = {i: parallel_device_put(stream[i])
+        devs = {i: upload(stream[i])
                 for i in range(min(depth, n_total))}
         pending = None
         for i in range(n_total):
@@ -170,7 +192,7 @@ def main():
                 inverse_scales, img_norm,
             )
             if i + depth < n_total:
-                devs[i + depth] = parallel_device_put(stream[i + depth])
+                devs[i + depth] = upload(stream[i + depth])
             if pending is not None:
                 np.asarray(pending)
             pending = det
@@ -190,8 +212,10 @@ def main():
     # device BUSY rate, not busy + a ~30-50 ms tunnel sync per dispatch —
     # the end-to-end passes above pipeline the same way, so this is the
     # matching denominator (r3; the serial variant is reported alongside).
-    dev_batches = [jax.device_put(b) for b in batches]
-    np.asarray(dev_batches[-1][0, 0, 0])  # sync the uploads
+    dev_batches = [upload(stage_host(b)) for b in batches]
+    # element-readback fence (block_until_ready is unreliable on axon)
+    _last = getattr(dev_batches[-1], "data", dev_batches[-1])
+    np.asarray(_last.reshape(-1)[0])
     compute_rates, serial_rates = [], []
     for _ in range(3):
         t0 = time.time()
@@ -238,6 +262,7 @@ def main():
                 ),
                 "passes": [round(r, 4) for r in pass_rates],
                 "images_per_dispatch": BATCH,
+                "pixel_format": pixel_format,
                 "compute_only_images_per_sec": round(compute_rate, 4),
                 "compute_only_serial_images_per_sec": round(serial_rate, 4),
                 "mfu_pct_of_bf16_peak": round(mfu_pct, 3),

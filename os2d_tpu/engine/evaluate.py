@@ -29,6 +29,7 @@ import numpy as np
 from ..data.voc_eval import do_voc_evaluation
 from ..models.head import ClassHead
 from ..structures.feature_map import FeatureMapSize
+from ..ops.pixel_format import PackedYuv420, decode_to_float_rgb, rgb_to_yuv420
 from ..utils.upload import parallel_device_put
 from .decode import decode_pyramid
 
@@ -456,6 +457,8 @@ class Evaluator:
         )
         key = (
             "detect",
+            isinstance(images_u8, PackedYuv420),  # wire format bakes a
+            # different decode preamble (ops/pixel_format.py)
             images_u8.shape,
             tuple(level_sizes),
             tuple(tuple(s) for s in inverse_scales),
@@ -559,7 +562,8 @@ class Evaluator:
             @jax.jit
             def detect(params, images_u8, class_feats, q_scales, pool_mask,
                        gt_boxes, gt_labels, gt_difficult, gt_valid):
-                img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+                # uint8 RGB or PackedYuv420 wire format -> f32 0..255
+                img = (decode_to_float_rgb(images_u8) / 255.0 - mean) / std
 
                 bank_cache = {}
 
@@ -646,7 +650,9 @@ class Evaluator:
         else:
             z = jnp.zeros((0,), jnp.float32)
             gt_args = (z, z, z, z)
-        args = (params, jnp.asarray(images_u8), feats_bank, q_scales,
+        img_arg = (images_u8 if isinstance(images_u8, PackedYuv420)
+                   else jnp.asarray(images_u8))
+        args = (params, img_arg, feats_bank, q_scales,
                 class_head.pool_mask) + gt_args
         if self.mesh is not None:
             with self.mesh:
@@ -731,7 +737,8 @@ class Evaluator:
             return jax.lax.with_sharding_constraint(
                 x, NamedSharding(self.mesh, P(None, DATA_AXIS)))
 
-        key1 = ("prescreen", images_u8.shape, tuple(level_sizes),
+        key1 = ("prescreen", isinstance(images_u8, PackedYuv420),
+                images_u8.shape, tuple(level_sizes),
                 feats_bank.shape, chunk, mesh_size)
         # (ceilings don't depend on decode cfg)
         if key1 not in self._decode_cache:
@@ -746,7 +753,7 @@ class Evaluator:
 
             @jax.jit
             def prescreen(params, images_u8, class_feats):
-                img = (images_u8.astype(jnp.float32) / 255.0 - mean) / std
+                img = (decode_to_float_rgb(images_u8) / 255.0 - mean) / std
                 n_img = images_u8.shape[0]
                 feats_p = class_feats
                 if c_pad1 != c_total:
@@ -793,13 +800,15 @@ class Evaluator:
 
             self._decode_cache[key1] = prescreen
 
+        img_arg = (images_u8 if isinstance(images_u8, PackedYuv420)
+                   else jnp.asarray(images_u8))
         if self.mesh is not None:
             with self.mesh:
                 fms, ceil = self._replicated(self._decode_cache[key1](
-                    params, jnp.asarray(images_u8), feats_bank))
+                    params, img_arg, feats_bank))
         else:
             fms, ceil = self._decode_cache[key1](
-                params, jnp.asarray(images_u8), feats_bank)
+                params, img_arg, feats_bank)
         # group ceilings over TTA views; the margin absorbs the worst-case
         # rounding difference between phases (see prescreen_margin)
         margin = prescreen_margin(self.model.config.resample_precision,
@@ -1144,11 +1153,29 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                         # the put into parallel chunked transfers;
                         # upload_serialize=True adds a completion fence
                         # (opt-in, see config.py).
-                        dev = parallel_device_put(
-                            stacked,
-                            streams=int(cfg.tpu.get("upload_streams", 2)),
-                            serialize=bool(
-                                cfg.tpu.get("upload_serialize", False)))
+                        # optional YUV 4:2:0 wire format: halves the upload
+                        # payload (the binding resource of this loop) at a
+                        # mAP-gated quality cost; default rgb8 is bit-exact
+                        # (ops/pixel_format.py, cfg.tpu.upload_pixel_format)
+                        pix = str(cfg.tpu.get("upload_pixel_format", "rgb8"))
+                        if (pix == "yuv420" and stacked.shape[1] % 2 == 0
+                                and stacked.shape[2] % 2 == 0):
+                            packed_host = rgb_to_yuv420(stacked)
+                            dev = PackedYuv420(
+                                parallel_device_put(
+                                    packed_host.data,
+                                    streams=int(
+                                        cfg.tpu.get("upload_streams", 2)),
+                                    serialize=bool(
+                                        cfg.tpu.get("upload_serialize",
+                                                    False))),
+                                packed_host.shape)
+                        else:
+                            dev = parallel_device_put(
+                                stacked,
+                                streams=int(cfg.tpu.get("upload_streams", 2)),
+                                serialize=bool(
+                                    cfg.tpu.get("upload_serialize", False)))
                         q.put((batch_ids, dev, level_sizes, inv_scales,
                                initial_sizes))
                 except BaseException as e:  # surface in the consumer

@@ -43,6 +43,9 @@ def main():
 
     cfg = get_default_cfg()
     cfg.tpu.eval_class_chunk = chunk
+    if os.environ.get("OS2D_CHUNK_PER_LEVEL"):
+        cfg.tpu.eval_class_chunk_per_level = (
+            os.environ["OS2D_CHUNK_PER_LEVEL"] == "1")
     if os.environ.get("OS2D_PRE_TOPK"):
         cfg.tpu.eval_pre_top_k = int(os.environ["OS2D_PRE_TOPK"])
     model_cfg = Os2dConfig()
