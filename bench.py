@@ -121,14 +121,18 @@ def main():
 
     from os2d_tpu.utils.upload import parallel_device_put
 
-    # optional YUV 4:2:0 wire format (OS2D_BENCH_PIXEL_FORMAT=yuv420,
-    # ops/pixel_format.py): halves the upload payload — the binding resource
-    # of the end-to-end loop (upload-bound ceiling 2 img / (7.4 MB / BW)).
-    # Host-side encode is done up front here because the production eval
-    # loop runs it in the dataloader's producer thread, overlapped with
-    # compute (engine/evaluate.py); the timed stream below measures the
-    # same device+tunnel pipeline either way. Default rgb8 is bit-exact.
-    pixel_format = os.environ.get("OS2D_BENCH_PIXEL_FORMAT", "rgb8")
+    # YUV 4:2:0 wire format (ops/pixel_format.py): halves the upload
+    # payload — the binding resource of the end-to-end loop (upload-bound
+    # ceiling 2 img / (7.4 MB / BW)). Default since r4: the interleaved A/B
+    # (BENCH_NOTES r4) measured 10.55 img/s in BOTH yuv420 legs vs
+    # 7.94 / 3.12 rgb8 (end-to-end reaches the compute ceiling and stops
+    # tracking tunnel windows), and the full-protocol mAP gate passes
+    # (tests/test_pixel_format.py). Host-side encode is done up front here
+    # because the production eval loop runs it in the dataloader's producer
+    # thread, overlapped with compute (engine/evaluate.py); the timed
+    # stream below measures the same device+tunnel pipeline either way.
+    # OS2D_BENCH_PIXEL_FORMAT=rgb8 restores the bit-exact wire format.
+    pixel_format = os.environ.get("OS2D_BENCH_PIXEL_FORMAT", "yuv420")
     if pixel_format == "yuv420":
         from os2d_tpu.ops.pixel_format import PackedYuv420, rgb_to_yuv420
 

@@ -333,15 +333,24 @@ def get_default_cfg() -> ConfigNode:
                                         # anyway (K=8: 4.41 unfenced vs 2.65
                                         # fenced steps/s). Available for
                                         # tunnels where contention dominates.
-            upload_pixel_format="rgb8",  # image wire format for the eval
+            upload_pixel_format="auto",  # image wire format for the eval
                                         # producer's host->device upload:
-                                        # "rgb8" (bit-exact, 3 B/px) or
+                                        # "rgb8" (bit-exact, 3 B/px),
                                         # "yuv420" (BT.601 4:2:0, 1.5 B/px —
                                         # halves the binding upload payload;
                                         # lossy vs decoded RGB, mAP-gated at
                                         # the full protocol in
                                         # tests/test_pixel_format.py; odd-
-                                        # sized batches fall back to rgb8).
+                                        # sized batches fall back to rgb8),
+                                        # or "auto" (default): yuv420 on
+                                        # accelerator backends where the
+                                        # host->device wire is the measured
+                                        # bottleneck (BENCH_NOTES r4:
+                                        # 10.55 vs 7.94/3.12 img/s A/B),
+                                        # rgb8 on CPU so parity tests and
+                                        # host-only runs stay bit-exact.
+                                        # Pin "rgb8" for exact reference
+                                        # reproduction on device.
             eval_pre_top_k=1024,      # per-label candidates kept before NMS
             eval_top_k=256,           # detections kept per label after NMS
             mesh_data_axis=-1,        # data-parallel axis size; -1 = all devices

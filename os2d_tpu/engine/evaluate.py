@@ -1153,11 +1153,15 @@ def evaluate(dataloader, model, params, cfg, criterion=None,
                         # the put into parallel chunked transfers;
                         # upload_serialize=True adds a completion fence
                         # (opt-in, see config.py).
-                        # optional YUV 4:2:0 wire format: halves the upload
-                        # payload (the binding resource of this loop) at a
-                        # mAP-gated quality cost; default rgb8 is bit-exact
+                        # YUV 4:2:0 wire format: halves the upload payload
+                        # (the binding resource of this loop) at a mAP-gated
+                        # quality cost; "auto" = yuv420 on accelerator
+                        # backends, rgb8 (bit-exact) on CPU
                         # (ops/pixel_format.py, cfg.tpu.upload_pixel_format)
-                        pix = str(cfg.tpu.get("upload_pixel_format", "rgb8"))
+                        pix = str(cfg.tpu.get("upload_pixel_format", "auto"))
+                        if pix == "auto":
+                            pix = ("rgb8" if jax.default_backend() == "cpu"
+                                   else "yuv420")
                         if (pix == "yuv420" and stacked.shape[1] % 2 == 0
                                 and stacked.shape[2] % 2 == 0):
                             packed_host = rgb_to_yuv420(stacked)
