@@ -333,8 +333,10 @@ def get_default_cfg() -> ConfigNode:
                                         # anyway (K=8: 4.41 unfenced vs 2.65
                                         # fenced steps/s). Available for
                                         # tunnels where contention dominates.
-            upload_pixel_format="auto",  # image wire format for the eval
-                                        # producer's host->device upload:
+            upload_pixel_format="auto",  # image wire format for the
+                                        # host->device batch-image upload
+                                        # (eval producer AND train
+                                        # prefetcher):
                                         # "rgb8" (bit-exact, 3 B/px),
                                         # "yuv420" (BT.601 4:2:0, 1.5 B/px —
                                         # halves the binding upload payload;

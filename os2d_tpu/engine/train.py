@@ -530,7 +530,8 @@ def pad_class_batch(class_images, num_real, pad_to):
 
 
 def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
-                         upload_streams=None, upload_serialize=None):
+                         upload_streams=None, upload_serialize=None,
+                         pixel_format=None):
     """Host batch dict (from the dataloader) -> static-shape device arrays.
 
     upload_serialize (cfg.tpu.upload_serialize, env OS2D_UPLOAD_SERIALIZE
@@ -541,9 +542,22 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
     absorb upload contention under their long compute (K=8: 4.41 unfenced
     vs 2.65 fenced steps/s). Kept as an opt-in for tunnels where transfer
     contention dominates host-prep overlap.
+
+    pixel_format (cfg.tpu.upload_pixel_format, env OS2D_UPLOAD_PIXEL_FORMAT
+    for the bench tools; default "auto") applies the YUV 4:2:0 wire format
+    (ops/pixel_format.py) to the dominant batch-image upload: the wire
+    payload halves and a tiny cached device program decodes back to uint8
+    RGB right after the transfer, so the step/scan programs are unchanged.
+    "auto" = yuv420 on accelerator backends, bit-exact rgb8 on CPU.
     """
     if upload_serialize is None:
         upload_serialize = os.environ.get("OS2D_UPLOAD_SERIALIZE", "0") == "1"
+    if pixel_format is None:
+        pixel_format = os.environ.get("OS2D_UPLOAD_PIXEL_FORMAT", "auto")
+    if pixel_format == "auto":
+        import jax
+
+        pixel_format = "rgb8" if jax.default_backend() == "cpu" else "yuv420"
     class_images = batch["class_images"]
     if class_images is None:
         # device-resident class cache (data/class_cache.py): resolve the
@@ -572,17 +586,29 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
     img_size = batch["img_size"]
     from ..utils.upload import parallel_device_put
 
-    arrays = {
-        # the batch images are the step's dominant upload (~4.3 MB at the
-        # grozi recipe); upload_streams>1 (cfg.tpu.upload_streams, env
-        # OS2D_UPLOAD_STREAMS for the bench tools) splits the put into
-        # parallel chunked transfers (per-stream-limited tunnels,
-        # utils/upload.py)
-        "images": (parallel_device_put(batch["images"],
-                                       streams=upload_streams,
+    def _upload_images(imgs):
+        # the batch images are the step's dominant upload (~4.3 MB rgb8 /
+        # ~2.2 MB yuv420 at the grozi recipe); upload_streams>1
+        # (cfg.tpu.upload_streams, env OS2D_UPLOAD_STREAMS for the bench
+        # tools) splits the put into parallel chunked transfers
+        # (per-stream-limited tunnels, utils/upload.py)
+        if not isinstance(imgs, np.ndarray):
+            return jnp.asarray(imgs)
+        if (pixel_format == "yuv420" and imgs.dtype == np.uint8
+                and imgs.ndim == 4 and imgs.shape[-1] == 3
+                and imgs.shape[1] % 2 == 0 and imgs.shape[2] % 2 == 0):
+            from ..ops.pixel_format import (
+                PackedYuv420, decode_wire_to_u8_device, rgb_to_yuv420)
+
+            packed = rgb_to_yuv420(imgs)
+            wire = parallel_device_put(packed.data, streams=upload_streams,
                                        serialize=upload_serialize)
-                   if isinstance(batch["images"], np.ndarray)
-                   else jnp.asarray(batch["images"])),
+            return decode_wire_to_u8_device(PackedYuv420(wire, packed.shape))
+        return parallel_device_put(imgs, streams=upload_streams,
+                                   serialize=upload_serialize)
+
+    arrays = {
+        "images": _upload_images(batch["images"]),
         "class_images": jnp.asarray(class_arr),
         "class_valid": jnp.asarray(class_valid),
         "gt_boxes": jnp.asarray(batch["gt_boxes"]),
@@ -1047,7 +1073,8 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         _prep = partial(
             prepare_batch_arrays,
             upload_streams=int(cfg.tpu.get("upload_streams", 2)),
-            upload_serialize=bool(cfg.tpu.get("upload_serialize", False)))
+            upload_serialize=bool(cfg.tpu.get("upload_serialize", False)),
+            pixel_format=str(cfg.tpu.get("upload_pixel_format", "auto")))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,
             prepare_fn=None if mesh is not None else _prep,

@@ -15,8 +15,11 @@ RGB. Re-subsampling for the wire mostly re-drops information the source
 never had. The transform is still lossy relative to the decoded RGB
 (device-side nearest chroma upsampling vs libjpeg's fancy upsampling, and
 the subsample box filter), so it is config-gated (cfg.tpu.upload_pixel
-_format, default "rgb8" for bit-exact parity) and mAP-gated at the full
-eval protocol (tests/test_pixel_format.py golden row).
+_format: "auto" = yuv420 on accelerator backends / bit-exact rgb8 on CPU;
+pin "rgb8" for exact reference reproduction) and mAP-gated at the full
+eval protocol (tests/test_pixel_format.py golden row). The r4 interleaved
+A/B measured 10.55 img/s in both yuv420 legs vs 7.94/3.12 rgb8
+(BENCH_NOTES r4) — end-to-end meets the compute-only ceiling.
 
 Encode runs on host in numpy (one pass over the batch, ~5 ms/MB); decode
 runs inside the jitted device program as pure elementwise VPU work that XLA
@@ -125,6 +128,32 @@ def yuv420_to_rgb_f32(flat_u8, shape):
     bl = y + (2.0 * (1.0 - _KB)) * cb
     g = (y - _KR * r - _KB * bl) / _KG
     return jnp.clip(jnp.stack([r, g, bl], axis=-1), 0.0, 255.0)
+
+
+def decode_wire_to_u8_device(packed: "PackedYuv420"):
+    """Uploaded yuv420 wire buffer -> device-resident uint8 RGB [B,H,W,3].
+
+    The TRAIN path uses this: its K-step dispatch groups stack plain image
+    arrays (engine/train.py stack_prepared_batches), so the wire buffer is
+    decoded right after upload by one tiny cached program instead of
+    threading the packed type through the scan. The extra u8 rounding vs
+    the eval path's direct-to-float decode is one half-LSB and is covered
+    by the train-loss gate in tests/test_pixel_format.py."""
+    import jax
+
+    global _decode_u8_jit
+    if _decode_u8_jit is None:
+        def _decode(flat, shape):
+            import jax.numpy as jnp
+
+            rgb = yuv420_to_rgb_f32(flat, shape)
+            return jnp.round(rgb).astype(jnp.uint8)
+
+        _decode_u8_jit = jax.jit(_decode, static_argnums=1)
+    return _decode_u8_jit(packed.data, packed.shape)
+
+
+_decode_u8_jit = None
 
 
 def decode_to_float_rgb(images, shape=None):

@@ -169,3 +169,78 @@ def test_eval_yuv420_prescreen_path(synthetic_loader):
     """The two-phase prescreen program consumes the packed wire too."""
     res = _run_eval(synthetic_loader, "yuv420", prescreen=True)
     assert res["mAP@0.50"] > 0.9, res
+
+
+# --- train path: packed wire decoded to uint8 right after upload --------
+
+
+def _train_batch(tmp_path_factory):
+    """One real train batch via the class-cache test's synthetic pipeline."""
+    import random as _random
+
+    from test_class_cache import _loaders_with_identical_rng
+
+    tmp = str(tmp_path_factory.mktemp("synth_train_pix"))
+    host_loader, _, cfg = _loaders_with_identical_rng(tmp, flips=False)
+    _random.seed(11)
+    return host_loader.get_batch(0), cfg
+
+
+def test_train_prepare_yuv420_matches_rgb8(tmp_path_factory):
+    """prepare_batch_arrays through the yuv420 wire yields a uint8 image
+    batch whose luma is preserved to rounding and whose chroma error is
+    bounded by the 4:2:0 subsample."""
+    from os2d_tpu.engine.train import prepare_batch_arrays
+
+    batch, _ = _train_batch(tmp_path_factory)
+    a_rgb, c_rgb = prepare_batch_arrays(batch, pixel_format="rgb8")
+    a_yuv, c_yuv = prepare_batch_arrays(batch, pixel_format="yuv420")
+    assert c_rgb == c_yuv
+    img_r = np.asarray(a_rgb["images"])
+    img_y = np.asarray(a_yuv["images"])
+    assert img_y.dtype == np.uint8 and img_y.shape == img_r.shape
+    luma_r = img_r.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
+    luma_y = img_y.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
+    luma_err = np.abs(luma_r - luma_y)
+    # Y is carried exactly up to quantization except where the RGB decode
+    # clips at 0/255 (saturated pixels under sharp chroma edges)
+    assert np.percentile(luma_err, 99) <= 3.0
+    assert luma_err.mean() <= 1.0
+    # random 8x8-block textures are a chroma-noise worst case (natural
+    # images have far smoother chroma); the behavioral gate is the loss
+    # test below plus the eval-detection gates above
+    assert np.abs(img_r.astype(np.int16) - img_y.astype(np.int16)).mean() < 12.0
+    # every other array is untouched by the wire format
+    for k in ("class_images", "gt_boxes", "gt_labels", "gt_valid"):
+        np.testing.assert_array_equal(np.asarray(a_rgb[k]), np.asarray(a_yuv[k]))
+
+
+def test_train_loss_gate_yuv420(tmp_path_factory):
+    """The train step's loss through the yuv420 wire matches the bit-exact
+    rgb8 wire to well under the step-to-step loss scale (VERDICT r3 #2's
+    upload-bound loop: the wire halves the dominant per-step payload)."""
+    import jax as _jax
+
+    from os2d_tpu.engine.objective import ObjectiveConfig
+    from os2d_tpu.engine.optimization import create_optimizer
+    from os2d_tpu.engine.train import (
+        TrainStep, build_trainable_mask, prepare_batch_arrays, train_one_batch)
+    from os2d_tpu.models import Os2dConfig, init_os2d_params
+    from os2d_tpu.utils.logger import setup_logger
+
+    batch, cfg = _train_batch(tmp_path_factory)
+    model_cfg = Os2dConfig(class_image_size=128)
+    params = init_os2d_params(_jax.random.PRNGKey(1), model_cfg)
+    mask = build_trainable_mask(params, cfg.train)
+    optimizer = create_optimizer(cfg.train.optim, mask)
+    step = TrainStep(model_cfg, ObjectiveConfig(), optimizer, cfg.train)
+    logger = setup_logger("OS2D.test")
+
+    losses = {}
+    for fmt in ("rgb8", "yuv420"):
+        prepared = prepare_batch_arrays(batch, pixel_format=fmt)
+        _, _, meters = train_one_batch(
+            batch, params, optimizer.init(params), step, logger,
+            prepared=prepared)
+        losses[fmt] = float(meters["loss"])
+    assert losses["rgb8"] == pytest.approx(losses["yuv420"], rel=2e-2), losses
