@@ -128,11 +128,18 @@ class TrainStep:
         def loss_fn(params, images, class_images, class_valid, gt_boxes,
                     gt_labels, gt_difficult, gt_valid, default_boxes):
             # uint8-over-the-wire batches: normalize on device (bit-equal
-            # to the host ToTensor+Normalize path)
+            # to the host ToTensor+Normalize path). A PackedYuv420 wire
+            # decodes here, fused into the program preamble (direct to
+            # float, like the eval path).
             mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
             std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
 
             def _norm(x):
+                from ..ops.pixel_format import PackedYuv420, yuv420_to_rgb_f32
+
+                if isinstance(x, PackedYuv420):
+                    return (yuv420_to_rgb_f32(x.data, x.shape) / 255.0
+                            - mean) / std
                 if x.dtype == jnp.uint8:
                     return (x.astype(jnp.float32) / 255.0 - mean) / std
                 return x
@@ -226,6 +233,12 @@ class TrainStep:
         return step, metric_keys
 
     @staticmethod
+    def _img_sig(images):
+        # PackedYuv420 exposes the logical RGB shape; tag the wire format so
+        # packed and plain programs never share a cache slot
+        return (type(images).__name__, tuple(images.shape))
+
+    @staticmethod
     def _batch_args(batch_arrays):
         return (
             batch_arrays["images"], batch_arrays["class_images"],
@@ -238,7 +251,7 @@ class TrainStep:
         raw_step, metric_keys = self._get_fn(num_classes)
         key = (
             num_classes,
-            batch_arrays["images"].shape,
+            self._img_sig(batch_arrays["images"]),
             batch_arrays["class_images"].shape,
             batch_arrays["gt_boxes"].shape,
         )
@@ -265,7 +278,7 @@ class TrainStep:
         raw_step, metric_keys = self._get_fn(num_classes)
         key = (
             "multi", num_classes,
-            stacked_arrays["images"].shape,
+            self._img_sig(stacked_arrays["images"]),
             stacked_arrays["class_images"].shape,
             stacked_arrays["gt_boxes"].shape,
         )
@@ -311,6 +324,7 @@ def visualize_target_remapping_for_batch(batch_arrays, num_classes, params,
 
     mean = jnp.asarray(model_cfg.normalization_mean, jnp.float32)
     std = jnp.asarray(model_cfg.normalization_std, jnp.float32)
+    batch_arrays = _decode_packed_images(batch_arrays)
 
     def _norm(x):
         if x.dtype == jnp.uint8:
@@ -546,8 +560,10 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
     pixel_format (cfg.tpu.upload_pixel_format, env OS2D_UPLOAD_PIXEL_FORMAT
     for the bench tools; default "auto") applies the YUV 4:2:0 wire format
     (ops/pixel_format.py) to the dominant batch-image upload: the wire
-    payload halves and a tiny cached device program decodes back to uint8
-    RGB right after the transfer, so the step/scan programs are unchanged.
+    payload halves and `images` comes back as a PackedYuv420 that the
+    step/scan program decodes in its preamble (loss_fn._norm). Mesh paths
+    decode up front instead (_decode_packed_images) because they shard the
+    prepared arrays with explicit per-leaf specs.
     "auto" = yuv420 on accelerator backends, bit-exact rgb8 on CPU.
     """
     if upload_serialize is None:
@@ -597,13 +613,20 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
         if (pixel_format == "yuv420" and imgs.dtype == np.uint8
                 and imgs.ndim == 4 and imgs.shape[-1] == 3
                 and imgs.shape[1] % 2 == 0 and imgs.shape[2] % 2 == 0):
-            from ..ops.pixel_format import (
-                PackedYuv420, decode_wire_to_u8_device, rgb_to_yuv420)
+            from ..ops.pixel_format import PackedYuv420, rgb_to_yuv420
 
             packed = rgb_to_yuv420(imgs)
             wire = parallel_device_put(packed.data, streams=upload_streams,
                                        serialize=upload_serialize)
-            return decode_wire_to_u8_device(PackedYuv420(wire, packed.shape))
+            # the wire stays PACKED until the step/scan program decodes it
+            # in its preamble (loss_fn._norm). The first form decoded here
+            # with a separate tiny device program — but that program,
+            # enqueued from the prefetcher thread, rides the in-order TPU
+            # execution queue AHEAD of the previous group's scan while
+            # depending on a still-in-flight transfer, stalling compute
+            # behind the next group's uploads (measured: every adjacent
+            # rgb8/yuv420 K=8 pair favored rgb8, BENCH_NOTES r4).
+            return PackedYuv420(wire, packed.shape)
         return parallel_device_put(imgs, streams=upload_streams,
                                    serialize=upload_serialize)
 
@@ -620,13 +643,28 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
     return arrays, c_pad
 
 
+def _decode_packed_images(arrays):
+    """PackedYuv420 wire -> plain uint8 RGB images (no-op otherwise).
+
+    Mesh paths shard the prepared arrays with explicit per-leaf specs
+    (parallel/mesh.py), so the wire decodes up front there; single-chip
+    paths keep the wire packed and decode inside the step program."""
+    from ..ops.pixel_format import PackedYuv420, decode_wire_to_u8_device
+
+    if isinstance(arrays.get("images"), PackedYuv420):
+        arrays = dict(arrays,
+                      images=decode_wire_to_u8_device(arrays["images"]))
+    return arrays
+
+
 def batch_signature(prepared):
     """Image/anchor shape signature of a prepared batch; only batches that
     agree here may share one multi-step dispatch group (the class and GT
     axes are padded to the group max by stack_prepared_batches, but the
     image shape fixes the compiled program's spatial dims)."""
     arrays, _ = prepared
-    return (arrays["images"].shape, arrays["class_images"].shape[1:],
+    return (TrainStep._img_sig(arrays["images"]),
+            arrays["class_images"].shape[1:],
             arrays["default_boxes"].shape)
 
 
@@ -657,6 +695,8 @@ def stack_prepared_batches(prepared_list):
 
     gt_keys = ("gt_boxes", "gt_labels", "gt_difficult", "gt_valid")
     stacked = {}
+    from ..ops.pixel_format import PackedYuv420
+
     for k in arrays0:
         if k == "default_boxes":
             stacked[k] = arrays0[k]
@@ -666,6 +706,12 @@ def stack_prepared_batches(prepared_list):
         elif k in gt_keys:
             stacked[k] = jnp.stack(
                 [pad_to(p[0][k], 1, g_pad) for p in prepared_list], 0)
+        elif k == "images" and isinstance(arrays0[k], PackedYuv420):
+            # stack the flat wire buffers; lax.scan slices one [n] wire per
+            # step and the pytree aux carries the per-step logical shape
+            stacked[k] = PackedYuv420(
+                jnp.stack([p[0][k].data for p in prepared_list], 0),
+                arrays0[k].shape)
         else:
             stacked[k] = jnp.stack([p[0][k] for p in prepared_list], 0)
     return stacked, c_pad
@@ -802,6 +848,7 @@ def train_one_batch(batch, params, opt_state, train_step: TrainStep, logger,
     if mesh is not None:
         from ..parallel.mesh import make_sharded_train_inputs
 
+        arrays = _decode_packed_images(arrays)
         params, opt_state, arrays = make_sharded_train_inputs(
             mesh, params, opt_state, arrays
         )
@@ -845,6 +892,9 @@ def train_k_batches(prepared_list, params, opt_state, train_step: TrainStep,
     dumps a reproducer holding the GROUP-INPUT params plus all K batches
     and j — replaying j steps from it reproduces the event exactly."""
     t_start = time.time()
+    if mesh is not None:
+        prepared_list = [(_decode_packed_images(a), c) for a, c in
+                         prepared_list]
     stacked, c_pad = stack_prepared_batches(prepared_list)
     group_in_params, group_in_opt = params, opt_state
     if mesh is not None:

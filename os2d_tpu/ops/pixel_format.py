@@ -50,9 +50,11 @@ class PackedYuv420:
         b, h, w, c = shape
         assert c == 3 and h % 2 == 0 and w % 2 == 0, shape
         if isinstance(data, np.ndarray):  # tracers/device arrays skip checks
-            assert data.dtype == np.uint8 and data.ndim == 1, (
+            # ndim 2 = a [K, n] stack of wires (stack_prepared_batches /
+            # NaN-reproducer round trips); lax.scan slices it back to [n]
+            assert data.dtype == np.uint8 and data.ndim in (1, 2), (
                 data.dtype, data.shape)
-            assert data.shape[0] == b * h * w * 3 // 2, (data.shape, shape)
+            assert data.shape[-1] == b * h * w * 3 // 2, (data.shape, shape)
         self.data = data
         self.shape = tuple(shape)
 
@@ -133,12 +135,17 @@ def yuv420_to_rgb_f32(flat_u8, shape):
 def decode_wire_to_u8_device(packed: "PackedYuv420"):
     """Uploaded yuv420 wire buffer -> device-resident uint8 RGB [B,H,W,3].
 
-    The TRAIN path uses this: its K-step dispatch groups stack plain image
-    arrays (engine/train.py stack_prepared_batches), so the wire buffer is
-    decoded right after upload by one tiny cached program instead of
-    threading the packed type through the scan. The extra u8 rounding vs
-    the eval path's direct-to-float decode is one half-LSB and is covered
-    by the train-loss gate in tests/test_pixel_format.py."""
+    Used where the wire must become a plain array BEFORE the main program:
+    mesh paths (parallel/mesh.py shards prepared arrays with explicit
+    per-leaf specs), visualization, and tests. The single-chip train/eval
+    steps instead decode the packed wire inside the program preamble
+    (loss_fn._norm / decode_to_float_rgb) — an eager decode dispatch
+    enqueued from the prefetcher thread rides the in-order TPU queue ahead
+    of the previous group's compute while depending on a still-in-flight
+    transfer, stalling compute behind the next group's uploads (measured,
+    BENCH_NOTES r4). The extra u8 rounding vs the direct-to-float decode
+    is one half-LSB and is covered by the train-loss gate in
+    tests/test_pixel_format.py."""
     import jax
 
     global _decode_u8_jit

@@ -191,13 +191,19 @@ def test_train_prepare_yuv420_matches_rgb8(tmp_path_factory):
     batch whose luma is preserved to rounding and whose chroma error is
     bounded by the 4:2:0 subsample."""
     from os2d_tpu.engine.train import prepare_batch_arrays
+    from os2d_tpu.ops.pixel_format import decode_wire_to_u8_device
 
     batch, _ = _train_batch(tmp_path_factory)
     a_rgb, c_rgb = prepare_batch_arrays(batch, pixel_format="rgb8")
     a_yuv, c_yuv = prepare_batch_arrays(batch, pixel_format="yuv420")
     assert c_rgb == c_yuv
     img_r = np.asarray(a_rgb["images"])
-    img_y = np.asarray(a_yuv["images"])
+    # the wire stays packed until the step program decodes it (the eager
+    # decode dispatch stalled the in-order device queue, BENCH_NOTES r4);
+    # decode it here the same way the mesh path does
+    assert isinstance(a_yuv["images"], PackedYuv420)
+    assert a_yuv["images"].shape == img_r.shape
+    img_y = np.asarray(decode_wire_to_u8_device(a_yuv["images"]))
     assert img_y.dtype == np.uint8 and img_y.shape == img_r.shape
     luma_r = img_r.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
     luma_y = img_y.astype(np.float32) @ np.array([0.299, 0.587, 0.114])
@@ -213,6 +219,50 @@ def test_train_prepare_yuv420_matches_rgb8(tmp_path_factory):
     # every other array is untouched by the wire format
     for k in ("class_images", "gt_boxes", "gt_labels", "gt_valid"):
         np.testing.assert_array_equal(np.asarray(a_rgb[k]), np.asarray(a_yuv[k]))
+
+
+def test_train_k_step_scan_yuv420(tmp_path_factory):
+    """K-step dispatch groups thread the PACKED wire through lax.scan
+    (stack_prepared_batches stacks the flat buffers to [K, n]; the scan body
+    decodes in its preamble). Per-step losses match the rgb8-wire group to
+    the wire tolerance, and the packed group survives a NaN-reproducer
+    numpy round trip."""
+    import jax as _jax
+
+    from os2d_tpu.engine.objective import ObjectiveConfig
+    from os2d_tpu.engine.optimization import create_optimizer
+    from os2d_tpu.engine.train import (
+        TrainStep, build_trainable_mask, prepare_batch_arrays,
+        stack_prepared_batches, train_k_batches)
+    from os2d_tpu.models import Os2dConfig, init_os2d_params
+    from os2d_tpu.utils.logger import setup_logger
+
+    batch, cfg = _train_batch(tmp_path_factory)
+    model_cfg = Os2dConfig(class_image_size=128)
+    params = init_os2d_params(_jax.random.PRNGKey(1), model_cfg)
+    mask = build_trainable_mask(params, cfg.train)
+    optimizer = create_optimizer(cfg.train.optim, mask)
+    step = TrainStep(model_cfg, ObjectiveConfig(), optimizer, cfg.train)
+    logger = setup_logger("OS2D.test")
+
+    losses = {}
+    for fmt in ("rgb8", "yuv420"):
+        prepared = [prepare_batch_arrays(batch, pixel_format=fmt)
+                    for _ in range(2)]
+        _, _, fin = train_k_batches(
+            prepared, params, optimizer.init(params), step, logger)
+        losses[fmt] = [m["loss"] for m in fin()]
+    assert losses["rgb8"] == pytest.approx(losses["yuv420"], rel=2e-2), losses
+
+    # the stacked packed batch round-trips through the reproducer's
+    # tree_map(np.asarray) without tripping the wire-shape asserts
+    prepared = [prepare_batch_arrays(batch, pixel_format="yuv420")
+                for _ in range(2)]
+    stacked, _ = stack_prepared_batches(prepared)
+    as_np = _jax.tree_util.tree_map(np.asarray, stacked)
+    wire = as_np["images"]
+    assert isinstance(wire, PackedYuv420) and wire.data.ndim == 2
+    assert wire.data.shape[0] == 2
 
 
 def test_train_loss_gate_yuv420(tmp_path_factory):

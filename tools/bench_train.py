@@ -127,9 +127,18 @@ def main():
     print(f"compile+first step {time.time() - t0:.1f}s "
           f"(loss={meters['loss']:.4f})", flush=True)
 
+    # OS2D_SKIP_SINGLE=1 drops the single-dispatch section so A/B legs stay
+    # short enough to land inside one tunnel window (the K-group section is
+    # the recommended production mode and the one the A/Bs compare)
+    if os.environ.get("OS2D_SKIP_SINGLE", "") == "1":
+        n_single = 0
+        prefetcher.get()  # drain the scheduled batch
+        prefetcher.close()
+    else:
+        n_single = n_steps
     t0 = time.time()
     pending_fin = None
-    for i in range(1, n_steps + 1):
+    for i in range(1, n_single + 1):
         _, batch, prepared = prefetcher.get()
         prefetcher.schedule((i + 1) % len(loader))
         # one-behind metrics, exactly as trainval_loop runs it: read step
@@ -140,16 +149,18 @@ def main():
         if pending_fin is not None:
             meters = pending_fin()
         pending_fin = fin
-    meters = pending_fin()  # blocks on the last step
-    dt = time.time() - t0
-    prefetcher.close()
-    print(
-        f"{n_steps} steps in {dt:.1f}s = {n_steps / dt:.2f} steps/s "
-        f"({n_steps / dt * cfg.train.batch_size:.1f} img/s) at the reference "
-        f"recipe (batch 4, 600px, {NUM_CLASSES} classes); host dataloader "
-        f"alone: {host_rate:.2f} batches/s; final loss {meters['loss']:.4f}",
-        flush=True,
-    )
+    if n_single:
+        meters = pending_fin()  # blocks on the last step
+        dt = time.time() - t0
+        prefetcher.close()
+        print(
+            f"{n_steps} steps in {dt:.1f}s = {n_steps / dt:.2f} steps/s "
+            f"({n_steps / dt * cfg.train.batch_size:.1f} img/s) at the "
+            f"reference recipe (batch 4, 600px, {NUM_CLASSES} classes); host "
+            f"dataloader alone: {host_rate:.2f} batches/s; final loss "
+            f"{meters['loss']:.4f}",
+            flush=True,
+        )
 
     # ---- K-step dispatch groups (cfg.tpu.train_steps_per_dispatch > 1) ----
     k = int(os.environ.get("OS2D_TRAIN_K", "8"))
