@@ -55,7 +55,9 @@ def main():
     # per-stream limited — 2 streams = 1.82x bandwidth (tools/bench_upload.py)
     # and 5.98 -> 9.50 img/s in adjacent same-window steady-state legs.
     # Matches cfg.tpu.upload_streams=2; override via OS2D_UPLOAD_STREAMS.
-    os.environ.setdefault("OS2D_UPLOAD_STREAMS", "2")
+    # (The library takes streams as an explicit parameter — the env override
+    # is resolved HERE, bench tools only.)
+    streams = int(os.environ.get("OS2D_UPLOAD_STREAMS", "2"))
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -131,21 +133,31 @@ def main():
     # because the production eval loop runs it in the dataloader's producer
     # thread, overlapped with compute (engine/evaluate.py); the timed
     # stream below measures the same device+tunnel pipeline either way.
-    # OS2D_BENCH_PIXEL_FORMAT=rgb8 restores the bit-exact wire format.
-    pixel_format = os.environ.get("OS2D_BENCH_PIXEL_FORMAT", "yuv420")
-    if pixel_format == "yuv420":
+    # Default "auto" resolves exactly like cfg.tpu.upload_pixel_format
+    # (config.py): yuv420 on accelerator backends, bit-exact rgb8 on CPU —
+    # so bench numbers always measure the wire production would use.
+    # OS2D_BENCH_PIXEL_FORMAT=rgb8 pins the bit-exact wire format.
+    pixel_format = os.environ.get("OS2D_BENCH_PIXEL_FORMAT", "auto")
+    if pixel_format == "auto":
+        pixel_format = ("rgb8" if jax.default_backend() == "cpu"
+                        else "yuv420")
+    if pixel_format == "yuv420" and IMG_H % 2 == 0 and IMG_W % 2 == 0:
         from os2d_tpu.ops.pixel_format import PackedYuv420, rgb_to_yuv420
 
         def stage_host(b):
             return rgb_to_yuv420(b)
 
         def upload(p):
-            return PackedYuv420(parallel_device_put(p.data), p.shape)
+            return PackedYuv420(parallel_device_put(p.data, streams=streams),
+                                p.shape)
     else:
+        pixel_format = "rgb8"
+
         def stage_host(b):
             return b
 
-        upload = parallel_device_put
+        def upload(b):
+            return parallel_device_put(b, streams=streams)
 
     # warmup (compilation + upload pool spin-up: the first chunked
     # parallel_device_put pays thread-pool creation and tunnel stream

@@ -235,8 +235,14 @@ class TrainStep:
     @staticmethod
     def _img_sig(images):
         # PackedYuv420 exposes the logical RGB shape; tag the wire format so
-        # packed and plain programs never share a cache slot
-        return (type(images).__name__, tuple(images.shape))
+        # packed and plain programs never share a cache slot. The tag is a
+        # two-valued wire-format flag, NOT type(images).__name__: numerically
+        # identical np.ndarray / jax Array batches must share one compiled
+        # slot (and one K-step dispatch group), wherever the array lives.
+        from ..ops.pixel_format import PackedYuv420
+
+        wire = "yuv420" if isinstance(images, PackedYuv420) else "rgb8"
+        return (wire, tuple(images.shape))
 
     @staticmethod
     def _batch_args(batch_arrays):
@@ -544,32 +550,33 @@ def pad_class_batch(class_images, num_real, pad_to):
 
 
 def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
-                         upload_streams=None, upload_serialize=None,
-                         pixel_format=None):
+                         upload_streams=2, upload_serialize=False,
+                         pixel_format="auto"):
     """Host batch dict (from the dataloader) -> static-shape device arrays.
 
-    upload_serialize (cfg.tpu.upload_serialize, env OS2D_UPLOAD_SERIALIZE
-    for the bench tools; default OFF) routes the dominant image upload
-    through the one-in-flight transfer gate with a completion fence.
-    Measured NEGATIVE as a default (BENCH_NOTES r3): the fence's readback
-    round trip blocks the prefetcher thread's host prep, and K-step groups
-    absorb upload contention under their long compute (K=8: 4.41 unfenced
-    vs 2.65 fenced steps/s). Kept as an opt-in for tunnels where transfer
-    contention dominates host-prep overlap.
+    The three upload knobs are plain parameters wired from cfg.tpu by
+    trainval_loop's `_prep` partial — this function reads NO environment
+    variables (the reference hot path has none either,
+    os2d/modeling/head.py:271-435; bench tools resolve their own env
+    overrides and pass explicit values).
 
-    pixel_format (cfg.tpu.upload_pixel_format, env OS2D_UPLOAD_PIXEL_FORMAT
-    for the bench tools; default "auto") applies the YUV 4:2:0 wire format
-    (ops/pixel_format.py) to the dominant batch-image upload: the wire
-    payload halves and `images` comes back as a PackedYuv420 that the
-    step/scan program decodes in its preamble (loss_fn._norm). Mesh paths
-    decode up front instead (_decode_packed_images) because they shard the
-    prepared arrays with explicit per-leaf specs.
+    upload_serialize (cfg.tpu.upload_serialize; default OFF) routes the
+    dominant image upload through the one-in-flight transfer gate with a
+    completion fence. Measured NEGATIVE as a default (BENCH_NOTES r3): the
+    fence's readback round trip blocks the prefetcher thread's host prep,
+    and K-step groups absorb upload contention under their long compute
+    (K=8: 4.41 unfenced vs 2.65 fenced steps/s). Kept as an opt-in for
+    tunnels where transfer contention dominates host-prep overlap.
+
+    pixel_format (cfg.tpu.upload_pixel_format; default "auto") applies the
+    YUV 4:2:0 wire format (ops/pixel_format.py) to the dominant batch-image
+    upload: the wire payload halves and `images` comes back as a
+    PackedYuv420 that the step/scan program decodes in its preamble
+    (loss_fn._norm). Mesh paths decode up front instead
+    (_decode_packed_images) because they shard the prepared arrays with
+    explicit per-leaf specs.
     "auto" = yuv420 on accelerator backends, bit-exact rgb8 on CPU.
     """
-    if upload_serialize is None:
-        upload_serialize = os.environ.get("OS2D_UPLOAD_SERIALIZE", "0") == "1"
-    if pixel_format is None:
-        pixel_format = os.environ.get("OS2D_UPLOAD_PIXEL_FORMAT", "auto")
     if pixel_format == "auto":
         import jax
 
@@ -619,13 +626,13 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
             wire = parallel_device_put(packed.data, streams=upload_streams,
                                        serialize=upload_serialize)
             # the wire stays PACKED until the step/scan program decodes it
-            # in its preamble (loss_fn._norm). The first form decoded here
-            # with a separate tiny device program — but that program,
-            # enqueued from the prefetcher thread, rides the in-order TPU
-            # execution queue AHEAD of the previous group's scan while
-            # depending on a still-in-flight transfer, stalling compute
-            # behind the next group's uploads (measured: every adjacent
-            # rgb8/yuv420 K=8 pair favored rgb8, BENCH_NOTES r4).
+            # in its preamble (loss_fn._norm). Design argument: an eager
+            # decode dispatched here from the prefetcher thread would ride
+            # the in-order TPU execution queue ahead of the previous
+            # group's scan while depending on a still-in-flight transfer,
+            # serializing upload behind compute. tools/bench_train.py's
+            # OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager measures that rejected
+            # form against this one (see the BENCH_NOTES train-wire matrix).
             return PackedYuv420(wire, packed.shape)
         return parallel_device_put(imgs, streams=upload_streams,
                                    serialize=upload_serialize)
@@ -1033,9 +1040,20 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 save_path=os.path.join(viz_dir, f"gt_batch0_img{i}.png"),
             )
 
+    # cfg-wired batch preparation: EVERY prepare_batch_arrays call in this
+    # loop (prefetcher worker, mesh main-thread fallback, viz) goes through
+    # this partial, so cfg.tpu.upload_* apply uniformly — a user who pins
+    # upload_pixel_format="rgb8" gets the bit-exact wire on mesh runs too
+    _prep = partial(
+        prepare_batch_arrays,
+        upload_streams=int(cfg.tpu.get("upload_streams", 2)),
+        upload_serialize=bool(cfg.tpu.get("upload_serialize", False)),
+        pixel_format=str(cfg.tpu.get("upload_pixel_format", "auto")))
+
     if (cfg.visualization.train.show_target_remapping and cfg.output.path
             and primary_host() and len(dataloader_train) > 0):
-        batch_arrays, n_cls = prepare_batch_arrays(dataloader_train.get_batch(0))
+        batch_arrays, n_cls = _prep(dataloader_train.get_batch(0))
+        batch_arrays = _decode_packed_images(batch_arrays)
         visualize_target_remapping_for_batch(
             batch_arrays, n_cls, params, model.config, cfg.train,
             os.path.join(cfg.output.path, "viz_remapping"),
@@ -1120,11 +1138,6 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
         mine_iter = int(cfg.train.mining.mine_hard_patches_iter)
         max_iter = int(cfg.train.optim.max_iter)
         loader_workers = max(1, int(cfg.tpu.get("train_loader_workers", 1)))
-        _prep = partial(
-            prepare_batch_arrays,
-            upload_streams=int(cfg.tpu.get("upload_streams", 2)),
-            upload_serialize=bool(cfg.tpu.get("upload_serialize", False)),
-            pixel_format=str(cfg.tpu.get("upload_pixel_format", "auto")))
         prefetcher = BatchPrefetcher(
             dataloader_train, depth=k_dispatch + 1,
             prepare_fn=None if mesh is not None else _prep,
@@ -1181,7 +1194,10 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
             for _ in range(group_len):
                 _, b, prep = prefetcher.get()
                 pending -= 1
-                group.append((b, prep))
+                # mesh runs prepare on the main thread (the prefetcher's
+                # prepare_fn is None there) — still through the cfg-wired
+                # _prep, never bare-default prepare_batch_arrays
+                group.append((b, prep if prep is not None else _prep(b)))
             loading_time = time.time() - t_load
             i_batch += group_len
             group_end = i_iter + group_len
@@ -1210,10 +1226,7 @@ def trainval_loop(dataloader_train, model, params, cfg, objective_cfg,
                 )
                 finalize = (lambda f: (lambda: [f()]))(fin_one)
             else:
-                prepared_list = [
-                    prep if prep is not None else prepare_batch_arrays(b)
-                    for b, prep in group
-                ]
+                prepared_list = [prep for _, prep in group]
                 # batches with different image/anchor signatures (a bucket
                 # switch mid-group) cannot share one compiled scan; split
                 # the group into maximal same-signature runs

@@ -139,13 +139,14 @@ def decode_wire_to_u8_device(packed: "PackedYuv420"):
     mesh paths (parallel/mesh.py shards prepared arrays with explicit
     per-leaf specs), visualization, and tests. The single-chip train/eval
     steps instead decode the packed wire inside the program preamble
-    (loss_fn._norm / decode_to_float_rgb) — an eager decode dispatch
-    enqueued from the prefetcher thread rides the in-order TPU queue ahead
-    of the previous group's compute while depending on a still-in-flight
-    transfer, stalling compute behind the next group's uploads (measured,
-    BENCH_NOTES r4). The extra u8 rounding vs the direct-to-float decode
-    is one half-LSB and is covered by the train-loss gate in
-    tests/test_pixel_format.py."""
+    (loss_fn._norm / decode_to_float_rgb) — design argument: an eager
+    decode dispatch enqueued from the prefetcher thread rides the in-order
+    TPU queue ahead of the previous group's compute while depending on a
+    still-in-flight transfer, stalling compute behind the next group's
+    uploads (tools/bench_train.py OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager
+    A/Bs that rejected form; see the BENCH_NOTES train-wire matrix).
+    The extra u8 rounding vs the direct-to-float decode is one half-LSB
+    and is covered by the train-loss gate in tests/test_pixel_format.py."""
     import jax
 
     global _decode_u8_jit

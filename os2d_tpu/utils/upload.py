@@ -8,12 +8,13 @@ parallel chunked `jax.device_put`s raises aggregate bandwidth; the chunks
 are re-stacked on device (an HBM concat, ~us at these sizes).
 
 `parallel_device_put` is the shared entry point for the eval producer, the
-train prefetcher, and bench.py. Stream count comes from OS2D_UPLOAD_STREAMS
-(default 1 = plain device_put; measured on-TPU before enabling —
-tools/bench_upload.py is the shootout).
+train prefetcher, and bench.py. Stream count is an explicit parameter wired
+from cfg.tpu.upload_streams (default 1 = plain device_put when omitted;
+measured on-TPU before enabling — tools/bench_upload.py is the shootout).
+The library reads no environment variables; bench tools resolve their own
+OS2D_UPLOAD_STREAMS override and pass it explicitly.
 """
 
-import os
 import threading
 from concurrent.futures import ThreadPoolExecutor
 
@@ -26,10 +27,6 @@ _pool = None
 # halve bandwidth, so a producer that runs several batches ahead (the K-step
 # train prefetcher) must hand transfers to the wire one at a time
 _transfer_gate = threading.Lock()
-
-
-def upload_streams(default=1):
-    return max(1, int(os.environ.get("OS2D_UPLOAD_STREAMS", str(default))))
 
 
 def _get_pool(k):
@@ -73,7 +70,7 @@ def parallel_device_put(arr, streams=None, serialize=False):
     import jax
     import jax.numpy as jnp
 
-    k = upload_streams() if streams is None else max(1, int(streams))
+    k = 1 if streams is None else max(1, int(streams))
 
     def _put():
         if k == 1 or arr.size < k or arr.nbytes < (1 << 20):

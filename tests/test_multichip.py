@@ -129,6 +129,61 @@ def test_image_sharded_evaluate_same_map(setup, tmp_path):
     assert res_sharded["mAP@0.50"] > 0.9
 
 
+def test_mesh_train_consumes_packed_yuv420_wire(tmp_path):
+    """The mesh train path consumes a PackedYuv420 prepared batch (VERDICT
+    r4 item 6): train_one_batch(mesh=...) routes the packed wire through
+    _decode_packed_images -> make_sharded_train_inputs. The mesh loss must
+    equal (rtol 2e-5) the single-device loss on the SAME decoded uint8
+    images, and match the rgb8-wire mesh loss to the wire tolerance."""
+    import random as _random
+
+    from test_class_cache import _loaders_with_identical_rng
+
+    from os2d_tpu.engine.objective import ObjectiveConfig
+    from os2d_tpu.engine.optimization import create_optimizer
+    from os2d_tpu.engine.train import (
+        TrainStep, build_trainable_mask, prepare_batch_arrays,
+        train_one_batch)
+    from os2d_tpu.ops.pixel_format import PackedYuv420, decode_wire_to_u8_device
+    from os2d_tpu.utils.logger import setup_logger
+
+    host_loader, _, cfg = _loaders_with_identical_rng(str(tmp_path),
+                                                      flips=False)
+    _random.seed(11)
+    batch = host_loader.get_batch(0)  # batch_size 2 -> 2-device mesh
+    mesh = make_mesh(2)
+
+    model_cfg = Os2dConfig(class_image_size=128)
+    params = init_os2d_params(jax.random.PRNGKey(1), model_cfg)
+    mask = build_trainable_mask(params, cfg.train)
+    optimizer = create_optimizer(cfg.train.optim, mask)
+    step = TrainStep(model_cfg, ObjectiveConfig(), optimizer, cfg.train)
+    logger = setup_logger("OS2D.test")
+
+    def run(prepared, use_mesh):
+        _, _, meters = train_one_batch(
+            batch, params, optimizer.init(params), step, logger,
+            mesh=mesh if use_mesh else None, prepared=prepared)
+        return float(meters["loss"])
+
+    prep_yuv = prepare_batch_arrays(batch, pixel_format="yuv420")
+    assert isinstance(prep_yuv[0]["images"], PackedYuv420)
+    loss_mesh_yuv = run(prep_yuv, use_mesh=True)
+
+    # single-device reference on the identical decoded-u8 pixels (isolates
+    # the mesh sharding from the wire's half-LSB in-program decode delta)
+    prep_yuv2 = prepare_batch_arrays(batch, pixel_format="yuv420")
+    dec = dict(prep_yuv2[0],
+               images=decode_wire_to_u8_device(prep_yuv2[0]["images"]))
+    loss_single_dec = run((dec, prep_yuv2[1]), use_mesh=False)
+    assert loss_mesh_yuv == pytest.approx(loss_single_dec, rel=2e-5)
+
+    # and the rgb8-wire mesh path agrees to the lossy-wire tolerance
+    prep_rgb = prepare_batch_arrays(batch, pixel_format="rgb8")
+    loss_mesh_rgb = run(prep_rgb, use_mesh=True)
+    assert loss_mesh_yuv == pytest.approx(loss_mesh_rgb, rel=2e-2)
+
+
 def test_prescreened_evaluate_composes_with_class_sharding(setup, tmp_path):
     """Lossless class prescreen x class-sharded mesh: both phases shard
     their class chunks; mAP matches the single-device prescreened run."""

@@ -41,7 +41,10 @@ def test_roundtrip_shapes(shape, dtype):
     assert np.allclose(np.asarray(d), a)
 
 
-def test_env_default(monkeypatch):
+def test_default_is_single_stream_and_env_free(monkeypatch):
+    """Omitting `streams` means 1 (plain device_put); the library must NOT
+    read OS2D_UPLOAD_STREAMS — env overrides are resolved by bench tools
+    and passed explicitly (tests/test_no_env_flags.py guards the source)."""
     monkeypatch.setenv("OS2D_UPLOAD_STREAMS", "4")
     rng = np.random.RandomState(2)
     a = rng.randint(0, 255, (2, 64, 64, 3), np.uint8)

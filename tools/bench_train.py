@@ -113,10 +113,33 @@ def main():
         loader.get_batch(i % len(loader))
     host_rate = 8 / (time.time() - t0)
 
-    from os2d_tpu.engine.train import prepare_batch_arrays
+    from functools import partial
+
+    from os2d_tpu.engine.train import (
+        _decode_packed_images, prepare_batch_arrays,
+    )
+
+    # env overrides are resolved HERE (bench tools only) and passed as
+    # explicit parameters — the library reads no env (test_no_env_flags).
+    # OS2D_UPLOAD_PIXEL_FORMAT: rgb8 | yuv420 | yuv420_eager | auto.
+    # "yuv420_eager" measures the rejected design (decode the wire with a
+    # separate device program on the prefetcher thread, before the step)
+    # against the shipped packed-through-scan form.
+    wire = os.environ.get("OS2D_UPLOAD_PIXEL_FORMAT", "auto")
+    streams = int(os.environ.get("OS2D_UPLOAD_STREAMS", "2"))
+    _prep = partial(prepare_batch_arrays, upload_streams=streams,
+                    pixel_format=("yuv420" if wire == "yuv420_eager"
+                                  else wire))
+    if wire == "yuv420_eager":
+        def prepare(batch, _p=_prep):
+            arrays, c_pad = _p(batch)
+            return _decode_packed_images(arrays), c_pad
+    else:
+        prepare = _prep
+    print(f"pixel_format={wire} streams={streams}", flush=True)
 
     loader_workers = int(os.environ.get("OS2D_LOADER_WORKERS", "1"))
-    prefetcher = BatchPrefetcher(loader, prepare_fn=prepare_batch_arrays,
+    prefetcher = BatchPrefetcher(loader, prepare_fn=prepare,
                                  workers=loader_workers)
     prefetcher.schedule(0)
     t0 = time.time()
@@ -169,7 +192,7 @@ def main():
     from os2d_tpu.engine.train import train_k_batches
 
     prefetcher = BatchPrefetcher(loader, depth=k + 1,
-                                 prepare_fn=prepare_batch_arrays,
+                                 prepare_fn=prepare,
                                  workers=loader_workers)
 
     def get_group(g):

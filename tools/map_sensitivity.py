@@ -107,12 +107,122 @@ def match_detections(ref, cur):
     return np.asarray(deltas), np.asarray(ious), unmatched
 
 
+def gate_train_wire(args, dataset, logger):
+    """Trained-mAP gate for the lossy yuv420 TRAIN wire (VERDICT r4 item 2).
+
+    Two --train-steps runs from the SAME init and host-RNG seed — one with
+    every batch prepared through the bit-exact rgb8 wire, one through the
+    yuv420 wire (so every training gradient flows through chroma-subsampled
+    images) — then both sets of trained weights evaluate under the IDENTICAL
+    protocol (fp32/high, rgb8 eval wire), isolating the train-wire effect.
+    Same standard the bf16 lever was gated at (BENCH_NOTES: dmAP -0.146
+    killed bf16)."""
+    import pickle
+    import random
+    import time
+
+    import jax
+
+    from os2d_tpu.config import get_default_cfg
+    from os2d_tpu.data.dataloader import (
+        DataloaderOneShotDetection,
+        build_train_dataloader_from_config,
+    )
+    from os2d_tpu.engine.evaluate import evaluate
+    from os2d_tpu.engine.objective import ObjectiveConfig
+    from os2d_tpu.engine.optimization import create_optimizer
+    from os2d_tpu.engine.train import (
+        TrainStep, build_trainable_mask, prepare_batch_arrays,
+        train_one_batch,
+    )
+    from os2d_tpu.models import Os2dConfig, Os2dModel, init_os2d_params
+
+    model_cfg = Os2dConfig()
+
+    def train_run(wire):
+        # identical host RNG streams across the two runs: the loaders draw
+        # the exact same augmented batches; only the wire format differs
+        random.seed(7)
+        np.random.seed(7)
+        cfg = get_default_cfg()
+        cfg.train.batch_size = 4
+        cfg.train.class_batch_size = NUM_CLASSES
+        cfg.train.augment.train_patch_width = 480
+        cfg.train.augment.train_patch_height = 480
+        cfg.train.optim.lr = 1e-4
+        loader, _ = build_train_dataloader_from_config(
+            cfg, dataset_train=dataset)
+        params = init_os2d_params(jax.random.PRNGKey(0), model_cfg)
+        mask = build_trainable_mask(params, cfg.train)
+        optimizer = create_optimizer(cfg.train.optim, mask)
+        opt_state = optimizer.init(params)
+        step = TrainStep(model_cfg, ObjectiveConfig(), optimizer, cfg.train)
+        t0 = time.time()
+        for i in range(args.train_steps):
+            batch = loader.get_batch(i % len(loader))
+            prepared = prepare_batch_arrays(batch, pixel_format=wire)
+            params, opt_state, meters = train_one_batch(
+                batch, params, opt_state, step, logger, prepared=prepared)
+            if i % 50 == 0:
+                print(f"[{wire}] step {i}: loss={meters['loss']:.4f}",
+                      flush=True)
+        print(f"[{wire}] trained {args.train_steps} steps in "
+              f"{time.time() - t0:.1f}s, final loss {meters['loss']:.4f}",
+              flush=True)
+        return jax.tree_util.tree_map(np.asarray, params)
+
+    lo = max(0.6, 1.0 - 0.2 * (args.scales // 2))
+    scales = list(np.linspace(lo, 2.0 - lo, args.scales))
+
+    detections, results = {}, {}
+    for wire in ("rgb8", "yuv420"):
+        params = train_run(wire)
+        cfg = get_default_cfg()
+        cfg.eval.mAP_iou_thresholds = [0.5]
+        cfg.tpu.eval_class_chunk = NUM_CLASSES
+        cfg.tpu.resample_precision = "high"
+        cfg.tpu.upload_pixel_format = "rgb8"  # identical bit-exact eval wire
+        cfg.visualization.eval.path_to_save_detections = os.path.join(
+            args.root, f"dets_trainwire_{wire}")
+        eval_loader = DataloaderOneShotDetection(
+            dataset=dataset, batch_size=1, pyramid_scales_eval=scales,
+            do_augmentation=False,
+        )
+        model = Os2dModel(model_cfg)
+        res = evaluate(eval_loader, model, params, cfg)
+        results[wire] = res
+        with open(os.path.join(args.root, f"dets_trainwire_{wire}",
+                               "sens_detections.pkl"), "rb") as f:
+            d = pickle.load(f)
+        detections[wire] = list(zip(d["boxes_xyxy"], d["scores"], d["labels"]))
+        print(f"train-wire {wire}: mAP@0.50={res['mAP@0.50']:.4f} "
+              f"recall={res['recall@0.50']:.4f}", flush=True)
+
+    dmap = results["yuv420"]["mAP@0.50"] - results["rgb8"]["mAP@0.50"]
+    deltas, ious, unmatched = match_detections(
+        detections["rgb8"], detections["yuv420"])
+    print(
+        f"\n=== train-wire gate (yuv420-trained vs rgb8-trained) ===\n"
+        f"dmAP={dmap:+.4f} "
+        f"score_delta mean={deltas.mean() if len(deltas) else 0:.2e} "
+        f"max={deltas.max() if len(deltas) else 0:.2e} "
+        f"match_iou_mean={ious.mean() if len(ious) else 0:.4f} "
+        f"unmatched={unmatched}/"
+        f"{sum(len(b[1]) for b in detections['rgb8'])}"
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--train-steps", type=int, default=200)
     ap.add_argument("--scales", type=int, default=3,
                     help="pyramid levels around 1.0 for eval")
     ap.add_argument("--root", default="/tmp/map_sensitivity")
+    ap.add_argument("--gate", choices=["numeric", "train-wire"],
+                    default="numeric",
+                    help="numeric: eval-time numeric-mode flips on shared "
+                         "trained weights; train-wire: two full training "
+                         "runs differing only in the upload wire format")
     args = ap.parse_args()
 
     import jax
@@ -145,6 +255,10 @@ def main():
         image_path=os.path.join(args.root, "src"), name="sens",
         image_size=IMG_W, eval_scale=IMG_W, cache_images=True,
     )
+
+    if args.gate == "train-wire":
+        gate_train_wire(args, dataset, logger)
+        return
 
     # ---- train a few hundred steps so weights are off random init ----
     model_cfg = Os2dConfig()
@@ -232,8 +346,6 @@ def main():
         )
         print(f"{name}: mAP@0.50={res['mAP@0.50']:.4f} "
               f"recall={res['recall@0.50']:.4f}", flush=True)
-        for k in env_flags:
-            os.environ.pop(k, None)
 
     print("\n=== deltas vs fp32_high ===")
     base = detections["fp32_high"]
