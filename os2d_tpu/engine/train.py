@@ -630,9 +630,11 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
             # decode dispatched here from the prefetcher thread would ride
             # the in-order TPU execution queue ahead of the previous
             # group's scan while depending on a still-in-flight transfer,
-            # serializing upload behind compute. tools/bench_train.py's
-            # OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager measures that rejected
-            # form against this one (see the BENCH_NOTES train-wire matrix).
+            # serializing upload behind compute. Measured (BENCH_NOTES r5
+            # train-wire matrix): the eager form lost both adjacent K=8
+            # pairs vs packed (3.06 vs 3.56, 4.79 vs 6.18 steps/s);
+            # tools/bench_train.py OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager
+            # reproduces the comparison.
             return PackedYuv420(wire, packed.shape)
         return parallel_device_put(imgs, streams=upload_streams,
                                    serialize=upload_serialize)

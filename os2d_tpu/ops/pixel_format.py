@@ -143,8 +143,10 @@ def decode_wire_to_u8_device(packed: "PackedYuv420"):
     decode dispatch enqueued from the prefetcher thread rides the in-order
     TPU queue ahead of the previous group's compute while depending on a
     still-in-flight transfer, stalling compute behind the next group's
-    uploads (tools/bench_train.py OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager
-    A/Bs that rejected form; see the BENCH_NOTES train-wire matrix).
+    uploads. Measured (BENCH_NOTES r5 train-wire matrix): the eager form
+    lost both adjacent K=8 pairs vs packed (3.06 vs 3.56, 4.79 vs 6.18
+    steps/s); tools/bench_train.py OS2D_UPLOAD_PIXEL_FORMAT=yuv420_eager
+    reproduces it.
     The extra u8 rounding vs the direct-to-float decode is one half-LSB
     and is covered by the train-loss gate in tests/test_pixel_format.py."""
     import jax

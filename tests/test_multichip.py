@@ -3,10 +3,17 @@
 Validates the two scaling strategies of DESIGN.md §3: data-parallel training
 (gradient psum over the mesh) and class-sharded evaluation (each device scores
 a slice of the class bank), with numerical equivalence to single-device runs.
+
+Module-marked `slow` (VERDICT r4 item 7): every test compiles full eval/train
+programs on 8 virtual CPU devices — minutes each on a contended single-core
+box. The driver's dryrun_multichip certifies the same paths per round; the
+smoke tier keeps the fast single-device sharding units elsewhere.
 """
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -146,6 +146,7 @@ def test_frozen_transform_params_stay_fixed(train_setup):
     assert not np.allclose(np.asarray(new_params["backbone"]["conv1"]), b0)
 
 
+@pytest.mark.slow
 def test_trainval_loop_smoke(train_setup, tmp_path):
     cfg, dataloader, model_cfg, model, params = train_setup
     cfg2 = cfg.clone()
@@ -168,6 +169,7 @@ def test_trainval_loop_smoke(train_setup, tmp_path):
     assert get_learning_rate(opt_state) == pytest.approx(cfg2.train.optim.lr)
 
 
+@pytest.mark.slow
 def test_trainval_loop_orbax_backend(train_setup, tmp_path):
     """cfg.tpu.checkpoint_backend="orbax" routes loop checkpoints to orbax
     dirs, and the saved checkpoint loads back with intact params."""
@@ -202,6 +204,7 @@ def test_trainval_loop_orbax_backend(train_setup, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_trainval_loop_gt_boxes_dataloader_figs(train_setup, tmp_path):
     """show_gt_boxes_dataloader saves first-batch GT figures."""
     import glob
@@ -231,6 +234,7 @@ def test_trainval_loop_gt_boxes_dataloader_figs(train_setup, tmp_path):
     assert expected_figs >= 1
 
 
+@pytest.mark.slow
 def test_trainval_loop_target_remapping_figs(train_setup, tmp_path):
     """show_target_remapping saves per-(image, positive-label) diagnostics."""
     import glob
@@ -306,6 +310,7 @@ def test_nan_reproducer_dump_and_reload(train_setup, tmp_path):
     assert not np.isfinite(float(metrics["grad_norm"]))
 
 
+@pytest.mark.slow
 def test_multi_step_dispatch_matches_sequential(train_setup):
     """TrainStep.multi (K steps in one lax.scan program) reproduces K
     sequential single-step dispatches: per-step metrics and the final
@@ -350,6 +355,7 @@ def test_multi_step_dispatch_matches_sequential(train_setup):
             np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_trainval_loop_multi_step_dispatch_matches_single(train_setup,
                                                           tmp_path):
     """trainval_loop with cfg.tpu.train_steps_per_dispatch=2 reproduces the
