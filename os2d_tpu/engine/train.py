@@ -549,6 +549,26 @@ def pad_class_batch(class_images, num_real, pad_to):
     return arr, valid
 
 
+_lossy_wire_warned = False
+
+
+def _warn_lossy_wire_once():
+    """One-time attribution when "auto" resolves to the lossy yuv420 wire,
+    so runs are attributable to their wire format from the log alone. The
+    default is backed by the trained-dmAP gate (BENCH_NOTES r5: dmAP
+    +0.0000 over 200 trained steps) and the full-protocol eval-detection
+    equality (tests/test_pixel_format.py); pin
+    cfg.tpu.upload_pixel_format="rgb8" for bit-exact reference numerics."""
+    global _lossy_wire_warned
+    if not _lossy_wire_warned:
+        _lossy_wire_warned = True
+        logging.getLogger("OS2D.train").info(
+            "upload_pixel_format=auto -> yuv420 wire on this accelerator "
+            "backend (lossy 4:2:0 chroma; trained-dmAP-gated, BENCH_NOTES "
+            "r5). Pin cfg.tpu.upload_pixel_format='rgb8' for bit-exact "
+            "uploads.")
+
+
 def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
                          upload_streams=2, upload_serialize=False,
                          pixel_format="auto"):
@@ -581,6 +601,8 @@ def prepare_batch_arrays(batch, class_pad_multiple=4, gt_pad_to=None,
         import jax
 
         pixel_format = "rgb8" if jax.default_backend() == "cpu" else "yuv420"
+        if pixel_format == "yuv420":
+            _warn_lossy_wire_once()
     class_images = batch["class_images"]
     if class_images is None:
         # device-resident class cache (data/class_cache.py): resolve the
