@@ -140,6 +140,17 @@ def _scan_head_chunks(model_config, tn_params, fm, feats_r, mask_r,
         return None, (out["loc"], out["cls"])
 
     xs = (feats_r, qs_r, mask_r) if quantized else (feats_r, mask_r)
+    if feats_r.shape[0] == 1:
+        # single chunk (the headline C=16 protocol): inline the body
+        # instead of a 1-step lax.scan. The while-loop boundary forces XLA
+        # to materialize the body's big intermediates ([B, C, A, 225] corr
+        # tensors) in loop-carried layouts and re-lay them out for the
+        # consumers — measured 26 ms/dispatch of pure layout copies in the
+        # r5 fused-program profile (BENCH_NOTES r5); inlining lets the
+        # corr/TN/decode stages fuse across the former loop boundary.
+        _, (locs, clss) = chunk_body(
+            None, jax.tree_util.tree_map(lambda x: x[0], xs))
+        return locs, clss
     # scan yields [n_chunks, B, chunk, ...] -> [B, C, ...]
     _, (locs, clss) = jax.lax.scan(chunk_body, None, xs)
     c_pad = feats_r.shape[0] * feats_r.shape[1]

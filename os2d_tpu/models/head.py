@@ -20,6 +20,8 @@ import jax.numpy as jnp
 
 from ..ops.geometry import (
     affine_grid_2d,
+    affine_grid_corners,
+    affine_grid_envelope,
     invert_affine_2x3,
     l2_normalize_channels,
     local_to_global_grid,
@@ -237,18 +239,11 @@ def head_forward(
     if use_inverse_geom_model:
         theta = invert_affine_2x3(theta)
 
-    grids_local = affine_grid_2d(theta, TEMPLATE_H, TEMPLATE_W)
-    grids_local = grids_local.reshape(b, c, h, w, TEMPLATE_H, TEMPLATE_W, 2)
-
     # (1) recognition: grids w.r.t. feature-map-level anchors (box 15, stride 1)
     boxes_fm = strided_anchor_grid(
         w, h, float(ALIGNER_RECEPTIVE_FIELD.w), float(ALIGNER_RECEPTIVE_FIELD.h),
         float(ALIGNER_STRIDE.w), float(ALIGNER_STRIDE.h),
     ).reshape(1, 1, h, w, 4)
-    grids_fm = local_to_global_grid(grids_local, boxes_fm)
-    gx = grids_fm[..., 0] / (w - 1) * 2.0 - 1.0
-    gy = grids_fm[..., 1] / (h - 1) * 2.0 - 1.0
-    grids_unit = jnp.clip(jnp.stack([gx, gy], axis=-1), -1.0, 1.0)
 
     # the "int8" resample tier has no gradient w.r.t. the sampling grids
     # (fixed-point round); training falls back to 'default'
@@ -258,53 +253,113 @@ def head_forward(
     # the pool mask zeroes the 2-wide template border, so the resample skips
     # those points entirely (bit-identical, 1.86x less gather work)
     if perm is not None:
-        # interior-first channel order: the interior is a contiguous prefix
-        from ..ops.sampling import resample_correlation_map
+        # interior-first channel order: the interior is a contiguous prefix.
+        # Sample coordinates are computed straight from theta as an outer
+        # product over the interior lattice, directly in the resample's
+        # t-major [B, C, T, A] layout — same scalar expression per point as
+        # affine_grid_2d -> local_to_global_grid -> normalize -> clip ->
+        # unnormalize (bit-exact), but never materializing the
+        # [B, C, H, W, th, tw, 2] grid tensors or their [A, th, tw] ->
+        # [T, A] relayout transposes (r5 profile: several ms/dispatch).
+        from ..ops.sampling import resample_correlation_from_pxpy
 
         bw = POOL_BORDER_WIDTH
         ts = slice(bw, TEMPLATE_H - bw)
         n_int = (TEMPLATE_H - 2 * bw) * (TEMPLATE_W - 2 * bw)
         corr_int = corr[..., :n_int]
-        mask_sub = class_head.pool_mask[..., ts, ts]
+        mask_t = class_head.pool_mask[..., ts, ts].transpose(0, 2, 1).reshape(
+            c, n_int)
 
-        def _resample(g):
-            return resample_correlation_map(
-                corr_int, g[..., ts, ts, :], mask_sub,
+        th6 = theta.reshape(b, c, 1, a, 2, 3)
+        dt = theta.dtype
+        xs_int = jnp.linspace(-1.0, 1.0, TEMPLATE_W, dtype=dt)[ts]
+        ys_int = jnp.linspace(-1.0, 1.0, TEMPLATE_H, dtype=dt)[ts]
+        # t = tx * th_int + ty (the _interior_permutation / weakalign order)
+        ux = jnp.repeat(xs_int, TEMPLATE_H - 2 * bw)[None, None, :, None]
+        uy = jnp.tile(ys_int, TEMPLATE_W - 2 * bw)[None, None, :, None]
+        lx = th6[..., 0, 0] * ux + th6[..., 0, 1] * uy + th6[..., 0, 2]
+        ly = th6[..., 1, 0] * ux + th6[..., 1, 1] * uy + th6[..., 1, 2]
+        fb = boxes_fm.reshape(1, 1, 1, a, 4)
+        fx_a = (fb[..., 2] - fb[..., 0]) / 2.0
+        fx_b = (fb[..., 2] + fb[..., 0]) / 2.0
+        fy_a = (fb[..., 3] - fb[..., 1]) / 2.0
+        fy_b = (fb[..., 3] + fb[..., 1]) / 2.0
+        gx = (lx * fx_a + fx_b) / (w - 1) * 2.0 - 1.0
+        gy = (ly * fy_a + fy_b) / (h - 1) * 2.0 - 1.0
+        gx = jnp.clip(gx, -1.0, 1.0)
+        gy = jnp.clip(gy, -1.0, 1.0)
+        px = (gx + 1.0) * 0.5 * (w - 1)
+        py = (gy + 1.0) * 0.5 * (h - 1)
+
+        def _resample(px_, py_):
+            return resample_correlation_from_pxpy(
+                corr_int, px_, py_, mask_t,
                 precision=resample_precision, t_chunk=resample_t_chunk)
+
+        cls = _resample(px, py)
+        if train_mode:
+            cls_detached = _resample(jax.lax.stop_gradient(px),
+                                     jax.lax.stop_gradient(py))
+        else:
+            cls_detached = cls
     else:
+        grids_local = affine_grid_2d(theta, TEMPLATE_H, TEMPLATE_W)
+        grids_local = grids_local.reshape(b, c, h, w, TEMPLATE_H, TEMPLATE_W, 2)
+        grids_fm = local_to_global_grid(grids_local, boxes_fm)
+        gx = grids_fm[..., 0] / (w - 1) * 2.0 - 1.0
+        gy = grids_fm[..., 1] / (h - 1) * 2.0 - 1.0
+        grids_unit = jnp.clip(jnp.stack([gx, gy], axis=-1), -1.0, 1.0)
+
         def _resample(g):
             return resample_correlation_map_masked(
                 corr, g, class_head.pool_mask, POOL_BORDER_WIDTH,
                 precision=resample_precision, t_chunk=resample_t_chunk,
             )
 
-    cls = _resample(grids_unit)
-    if train_mode:
-        cls_detached = _resample(jax.lax.stop_gradient(grids_unit))
-    else:
-        cls_detached = cls
+        cls = _resample(grids_unit)
+        if train_mode:
+            cls_detached = _resample(jax.lax.stop_gradient(grids_unit))
+        else:
+            cls_detached = cls
 
-    # (2) localization: grids w.r.t. image-level anchors (box 240, stride 16)
+    # (2) localization: envelope + corners in closed form from theta w.r.t.
+    # image-level anchors (box 240, stride 16). The affine lattice's extremes
+    # sit at its +-1 corners, so the reference's materialize-then-min/max
+    # over all gh*gw grid points (os2d/modeling/head.py:398-425; ~1.2 GB of
+    # grid tensors per dispatch at bench shapes) reduces to a handful of
+    # elementwise ops per anchor (ops/geometry.py:affine_grid_envelope).
     boxes_img = strided_anchor_grid(
         w, h, float(ANCHOR_BOX.w), float(ANCHOR_BOX.h),
         float(ANCHOR_STRIDE.w), float(ANCHOR_STRIDE.h),
     ).reshape(1, 1, h, w, 4)
-    grids_img = local_to_global_grid(grids_local, boxes_img)
+    th4 = theta.reshape(b, c, h, w, 2, 3)
+    ix_a = (boxes_img[..., 2] - boxes_img[..., 0]) / 2.0  # [1, 1, h, w]
+    ix_b = (boxes_img[..., 2] + boxes_img[..., 0]) / 2.0
+    iy_a = (boxes_img[..., 3] - boxes_img[..., 1]) / 2.0
+    iy_b = (boxes_img[..., 3] + boxes_img[..., 1]) / 2.0
 
-    gxs = grids_img[..., 0].reshape(b, c, h, w, -1)
-    gys = grids_img[..., 1].reshape(b, c, h, w, -1)
+    lmin, lmax = affine_grid_envelope(th4)  # [b, c, h, w, 2] each
     class_boxes = jnp.stack(
-        [gxs.min(-1), gys.min(-1), gxs.max(-1), gys.max(-1)], axis=-1
+        [
+            lmin[..., 0] * ix_a + ix_b,
+            lmin[..., 1] * iy_a + iy_b,
+            lmax[..., 0] * ix_a + ix_b,
+            lmax[..., 1] * iy_a + iy_b,
+        ],
+        axis=-1,
     )  # [B, C, H, W, 4]
     class_boxes = clip_to_min_size(class_boxes, 1.0)
     default_boxes = clip_to_min_size(boxes_img, 1.0)
     loc = encode_boxes(class_boxes, default_boxes)  # [B, C, H, W, 4]
 
     # corners of the transformed grids, detached (os2d/modeling/head.py:421-425)
+    cl = affine_grid_corners(th4)  # [b, c, h, w, 4, 2]
     corners = jax.lax.stop_gradient(
-        grids_img[:, :, :, :, (0, TEMPLATE_H - 1), :, :][
-            :, :, :, :, :, (0, TEMPLATE_W - 1), :
-        ]
+        jnp.stack(
+            [cl[..., 0] * ix_a[..., None] + ix_b[..., None],
+             cl[..., 1] * iy_a[..., None] + iy_b[..., None]],
+            axis=-1,
+        )
     ).reshape(b, c, h, w, 8)
 
     return {

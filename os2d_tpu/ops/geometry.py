@@ -40,6 +40,47 @@ def affine_grid_2d(theta, out_h: int, out_w: int):
     return jnp.stack([grid_x, grid_y], axis=-1)
 
 
+def affine_grid_envelope(theta):
+    """Tight per-axis envelope of the affine_grid_2d(theta, gh, gw) lattice.
+
+    Every lattice point is theta @ [ux, uy, 1] with (ux, uy) in [-1, 1]^2
+    (endpoints included), so each output coordinate is extremized at the
+    +-1 corners:
+        min = t2 - (|t0| + |t1|),   max = t2 + (|t0| + |t1|)
+    per row. Replaces materializing the full [..., gh, gw, 2] grid to
+    min/max-reduce it (the reference materializes and reduces:
+    os2d/modeling/head.py:398-420) with six elementwise ops per anchor —
+    equal to the lattice min/max up to fp summation order (<= ~1 ulp), with
+    the same sign-based gradient as the reduction's argmin/argmax corner.
+
+    Args: theta [..., 2, 3]. Returns (mins, maxs), each [..., 2] as (x, y).
+    """
+    ext = jnp.abs(theta[..., 0]) + jnp.abs(theta[..., 1])
+    ctr = theta[..., 2]
+    return ctr - ext, ctr + ext
+
+
+def affine_grid_corners(theta):
+    """The 4 corner points of the affine_grid_2d(theta, gh, gw) lattice.
+
+    Corner (ux, uy) = (+-1, +-1) evaluates to (t0 * ux + t1 * uy) + t2 —
+    the same multiply-add order affine_grid_2d uses, so this is bit-exact
+    against selecting grids[..., (0, gh-1), :, :][..., (0, gw-1), :] from
+    the materialized grid (os2d/modeling/head.py:421-425). Corner order is
+    (uy, ux) in ((-1,-1), (-1,+1), (+1,-1), (+1,+1)), matching that
+    y-then-x selection.
+
+    Args: theta [..., 2, 3]. Returns [..., 4, 2] of (x, y) per corner.
+    """
+    rows = []
+    for sy in (-1.0, 1.0):
+        for sx in (-1.0, 1.0):
+            x = theta[..., 0, 0] * sx + theta[..., 0, 1] * sy + theta[..., 0, 2]
+            y = theta[..., 1, 0] * sx + theta[..., 1, 1] * sy + theta[..., 1, 2]
+            rows.append(jnp.stack([x, y], axis=-1))
+    return jnp.stack(rows, axis=-2)
+
+
 def invert_affine_2x3(theta, reg: float = 1e-5):
     """Invert [..., 2, 3] affine transforms (appending the implicit [0,0,1] row).
 

@@ -132,6 +132,39 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
     th, tw = grids_unit.shape[-3], grids_unit.shape[-2]
     assert th * tw == t, (th, tw, t)
     a = h * w
+
+    grids = grids_unit.reshape(b, c, a, th, tw, 2)
+    px = (grids[..., 0] + 1.0) * 0.5 * (w - 1)
+    py = (grids[..., 1] + 1.0) * 0.5 * (h - 1)
+    # [B, C, A, th, tw] -> [B, C, T, A] with T-index = tx*th + ty
+    px = px.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
+    py = py.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
+    mask_t = pool_mask.transpose(0, 2, 1).reshape(c, t).astype(corr.dtype)
+    return resample_correlation_from_pxpy(
+        corr, px, py, mask_t, precision=precision, t_chunk=t_chunk)
+
+
+def resample_correlation_from_pxpy(corr, px, py, mask_t, precision="default",
+                                   t_chunk=None):
+    """Core of resample_correlation_map for callers that already hold T-MAJOR
+    pixel coordinates.
+
+    head_forward computes px/py straight from the per-anchor affine theta
+    (an outer product over the template lattice), which emits them directly
+    in this [B, C, T, A] layout — skipping the [B, C, H, W, th, tw, 2] grid
+    tensors and the whole-tensor [A, th, tw] -> [T, A] relayout transposes
+    the grid path pays (r5 profile: the grid reshapes/copies are several
+    ms/dispatch at bench shapes).
+
+    Args:
+      corr: [B, C, H, W, T] correlation maps (T-channel t = tx*th + ty).
+      px, py: [B, C, T, A] pixel-space sample coordinates (already clamped
+        to the feature-map extent by the caller's [-1, 1] grid clip).
+      mask_t: [C, T] spatially-normalized pool mask in the same t order.
+    Returns scores [B, C, H, W] in corr.dtype.
+    """
+    b, c, h, w, t = corr.shape
+    a = h * w
     if t_chunk is None or t_chunk <= 0:
         # MEASURED r3 (BENCH_NOTES): at class chunks > ~32 XLA lowers each
         # chunk's hat einsum pair as one VPU loop fusion (materializing the
@@ -141,18 +174,12 @@ def resample_correlation_map(corr, grids_unit, pool_mask, precision="default",
         # keep the r2-tuned value.
         t_chunk = 8 if c <= 32 else 1
 
-    grids = grids_unit.reshape(b, c, a, th, tw, 2)
-    px = (grids[..., 0] + 1.0) * 0.5 * (w - 1)
-    py = (grids[..., 1] + 1.0) * 0.5 * (h - 1)
-    # [B, C, A, th, tw] -> [B, C, T, A] with T-index = tx*th + ty
-    px = px.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
-    py = py.transpose(0, 1, 4, 3, 2).reshape(b, c, t, a)
     # corr stays in its NATURAL [B, C, H, W, T] layout (t already tx*th+ty):
     # chunks slice the contiguous last axis and the first einsum associates
     # (h, w, t) itself — measurably faster than pre-transposing to
     # [B, C, T, H, W] (the transpose was an HBM copy of the whole tensor)
     corr_p = corr
-    mask_t = pool_mask.transpose(0, 2, 1).reshape(c, t).astype(corr.dtype)
+    mask_t = mask_t.astype(corr.dtype)
 
     n_chunks = (t + t_chunk - 1) // t_chunk
     t_pad = n_chunks * t_chunk
